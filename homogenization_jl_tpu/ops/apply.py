@@ -1,0 +1,40 @@
+"""Matrix-free element apply (device, JAX) — the hot kernel.
+
+Rebuild of the reference's per-element sparse mat-vec
+(src/apply_local_operators.jl:85-133): there, each base element does (d^2+1)
+CSC SpMVs against shared [n_local, n_local] reference matrices. Here the
+reference matrices are densified and stacked ([P, n, n], see
+fem/local_operators.py), the per-element geometry coefficients are
+precomputed ([E, P]), and the apply is a batched contraction that XLA maps
+onto the MXU:
+
+    y[e, m] = sum_p coeff[e, p] * sum_n stack[p, m, n] * x[e, n]
+
+The symmetric fold keeps P = d(d+1)/2 + 1 (4 in 2D, 7 in 3D) instead of
+d^2 + 1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# f32 on the MXU defaults to bf16 multiplies; CG needs better. f64 is emulated
+# and ignores the flag.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def element_apply(x: jnp.ndarray, coeff: jnp.ndarray, stack: jnp.ndarray) -> jnp.ndarray:
+    """y[e] = sum_p coeff[e, p] * (stack[p] @ x[e]).
+
+    x: [E, n], coeff: [E, P], stack: [P, n, n] (symmetric slices).
+    """
+    # Two-stage contraction: P batched matmuls (MXU), then a weighted sum
+    # (VPU) that XLA fuses into the matmul epilogue.
+    z = jnp.einsum("pmn,en->epm", stack, x, precision=_PRECISION)
+    return jnp.einsum("ep,epm->em", coeff, z, precision=_PRECISION)
+
+
+def mass_apply(x: jnp.ndarray, mass: jnp.ndarray) -> jnp.ndarray:
+    """y[e] = Mhat @ x[e] with the symmetric reference mass matrix [n, n]."""
+    return jnp.einsum("mn,en->em", mass, x, precision=_PRECISION)

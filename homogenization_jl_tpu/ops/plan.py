@@ -1,0 +1,287 @@
+"""Static device tables for the implicit fine grid (host precompute, NumPy).
+
+This is the TPU-native rebuild of the reference's "communication topology":
+Interfaces / SparseCellToElementMap (src/interface.jl:31-117),
+ZeroDirichletConstraint + apply_constraint! (src/implicit_fine_grid.jl:80-139),
+broadcast_interfaces! (src/implicit_fine_grid.jl:209-328) and
+zero_out_all_but_one! (:334-386).
+
+State layout on device is ``[n_base_elements, n_local]`` (the reference uses
+the transpose, src/multigrid.jl:18-25): elements lead so they can be sharded,
+n_local is minor so the element apply contracts it on the MXU.
+
+Everything dynamic in the reference becomes a *static table*:
+
+  * broadcast_interfaces!  ->  gather slots -> segment_sum over groups ->
+    scatter sums back. A "slot" is one (element, local node) copy of a shared
+    fine DOF; a "group" is the physical fine DOF. Tables are exact and built
+    combinatorially: both owners of a shared base face/edge enumerate its
+    fine DOFs in the same canonical in-cell parameter order because element
+    rows are sorted ascending (see mesh/reference.py).
+  * apply_constraint!      ->  multiply by a {0,1} boundary mask.
+  * zero_out_all_but_one!  ->  multiply by a first-copy mask (exact norms).
+  * copy_to_base!/distribute! -> segment-sum / gather with the base element
+    array itself (src/implicit_fine_grid.jl:148-202).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..mesh.grid import Mesh, TET_EDGES, TET_FACES, TRI_EDGES
+from ..mesh.reference import MultilevelReference, refined_reference
+
+
+@dataclasses.dataclass(frozen=True)
+class CombineTable:
+    """Interface gather/segment-sum/scatter table for one level."""
+
+    slot_elem: np.ndarray  # [S] int32, base element of each slot
+    slot_node: np.ndarray  # [S] int32, local (ref mesh) node of each slot
+    slot_group: np.ndarray  # [S] int32, physical fine DOF id
+    n_groups: int
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelPlan:
+    combine: CombineTable
+    boundary_mask: np.ndarray  # [E, n_local] 1.0 interior / 0.0 boundary
+    first_copy_mask: np.ndarray  # [E, n_local] keeps one copy per fine DOF
+
+
+@dataclasses.dataclass(frozen=True)
+class GridPlan:
+    """All static tables for an implicit fine grid on `base` with `nlevels`."""
+
+    base: Mesh
+    reference: MultilevelReference
+    levels: list  # [LevelPlan] * nlevels
+    interior_base_nodes: np.ndarray
+
+    @property
+    def nlevels(self) -> int:
+        return len(self.levels)
+
+    def n_local(self, k: int) -> int:
+        return self.reference.levels[k].nnodes
+
+    @property
+    def max_unknowns(self) -> int:
+        return self.base.nelements * self.n_local(self.nlevels - 1)
+
+
+def _occurrences(rows: np.ndarray):
+    """Group identical rows. Returns (occ_order, starts, counts):
+    rows[occ_order[starts[g] : starts[g] + counts[g]]] are the occurrences of
+    distinct cell g (cells in lexicographic order)."""
+    order = np.lexsort(rows.T[::-1])
+    srows = rows[order]
+    new = np.ones(len(srows), dtype=bool)
+    if len(srows) > 1:
+        new[1:] = np.any(srows[1:] != srows[:-1], axis=1)
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(srows)))
+    return order, starts, counts
+
+
+def _list_cells(elements: np.ndarray, local_table: np.ndarray):
+    """All (cell_nodes, element, local_id) occurrences.
+
+    Returns (cells [Ne*L, c], elem [Ne*L], local [Ne*L]); rows of `cells` are
+    globally sorted tuples because element rows are sorted.
+    (Reference: list_faces/edges/nodes_with_element, src/interface.jl:124-197.)
+    """
+    Ne = elements.shape[0]
+    L = local_table.shape[0]
+    cells = elements[:, local_table].reshape(Ne * L, -1)
+    elem = np.repeat(np.arange(Ne, dtype=np.int64), L)
+    local = np.tile(np.arange(L, dtype=np.int64), Ne)
+    return cells, elem, local
+
+
+def _class_tables(elements, local_table, nodes_of_local):
+    """Build per-class interface slots and boundary/first-copy slot lists.
+
+    ``nodes_of_local``: [L, m] ref-node ids on (the interior of) each local
+    cell, canonically ordered (m may be 0).
+
+    Returns dict with interface slots (elem, node, group), boundary-owner
+    slots (elem, node) for cells with exactly one owner, non-first-copy slots,
+    plus the occurrence bookkeeping for callers that need more (boundary
+    propagation to sub-cells).
+    """
+    cells, elem, local = _list_cells(elements, local_table)
+    order, starts, counts = _occurrences(cells)
+    m = nodes_of_local.shape[1]
+
+    def expand(occ_idx, group_rank=None):
+        """Turn occurrence indices into (elem, node[, group]) slot arrays."""
+        e = elem[order[occ_idx]]
+        l = local[order[occ_idx]]
+        slot_elem = np.repeat(e, m)
+        slot_node = nodes_of_local[l].ravel()
+        if group_rank is None:
+            return slot_elem, slot_node
+        group = (np.repeat(group_rank, m) * m + np.tile(np.arange(m), len(e))).astype(
+            np.int64
+        )
+        return slot_elem, slot_node, group
+
+    # Interface cells: shared by >= 2 elements.
+    shared = counts >= 2
+    shared_starts, shared_counts = starts[shared], counts[shared]
+    occ = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(shared_starts, shared_counts)]
+    ) if len(shared_starts) else np.empty(0, dtype=np.int64)
+    cell_rank = np.repeat(np.arange(len(shared_starts)), shared_counts)
+    if m > 0 and len(occ):
+        ie, inode, igroup = expand(occ, cell_rank)
+        n_groups = len(shared_starts) * m
+    else:
+        ie = inode = igroup = np.empty(0, dtype=np.int64)
+        n_groups = 0
+
+    # Non-first copies (for zero_out_all_but_one): every shared occurrence
+    # except the first per cell.
+    nf_occ = np.concatenate(
+        [np.arange(s + 1, s + c) for s, c in zip(shared_starts, shared_counts)]
+    ) if len(shared_starts) else np.empty(0, dtype=np.int64)
+    if m > 0 and len(nf_occ):
+        nfe, nfnode = expand(nf_occ)
+    else:
+        nfe = nfnode = np.empty(0, dtype=np.int64)
+
+    return {
+        "iface": (ie, inode, igroup, n_groups),
+        "nonfirst": (nfe, nfnode),
+        "cells": cells,
+        "elem": elem,
+        "local": local,
+        "order": order,
+        "starts": starts,
+        "counts": counts,
+    }
+
+
+def _rows_in(rows: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Boolean mask: which `rows` occur in (sorted-unique) `table`."""
+    if len(table) == 0 or len(rows) == 0:
+        return np.zeros(len(rows), dtype=bool)
+    # Encode tuples as flat keys (node ids < 2^31, widths <= 3 -> fits int64
+    # only for 2 columns; use structured void view for generality).
+    def keyify(a):
+        a = np.ascontiguousarray(a.astype(np.int64))
+        return a.view([("", np.int64)] * a.shape[1]).ravel()
+
+    return np.isin(keyify(rows), keyify(table))
+
+
+def build_grid_plan(base: Mesh, nlevels: int, dtype=np.float64) -> GridPlan:
+    """Build all static tables (reference init path: ImplicitFineGrid ctor,
+    src/implicit_fine_grid.jl:13-18 + list_boundary_nodes_edges_faces,
+    src/interface.jl:207-284)."""
+    assert np.all(np.diff(base.elements, axis=1) > 0), "element rows must be sorted"
+    dim = base.dim
+    ref = refined_reference(dim, nlevels)
+    E = base.nelements
+
+    edge_table = TRI_EDGES if dim == 2 else TET_EDGES
+    face_table = TET_FACES if dim == 3 else None
+    corner_table = np.arange(dim + 1, dtype=np.int64)[:, None]
+
+    # ---- boundary cells of the base mesh (level-independent) -------------
+    # 3D: boundary faces = faces with one owner; boundary edges/nodes are the
+    # sub-simplices of boundary faces. 2D: boundary edges = edges with one
+    # owner; boundary nodes their endpoints.
+    if dim == 3:
+        faces, felem, flocal = _list_cells(base.elements, face_table)
+        forder, fstarts, fcounts = _occurrences(faces)
+        bnd_face_occ = forder[fstarts[fcounts == 1]]
+        bnd_faces = faces[bnd_face_occ]
+        # edges of boundary faces: local pairs within the (sorted) face triple
+        bnd_edges = np.unique(
+            bnd_faces[:, [(0, 1), (0, 2), (1, 2)]].reshape(-1, 2), axis=0
+        )
+    else:
+        edges2, eelem2, elocal2 = _list_cells(base.elements, edge_table)
+        eorder2, estarts2, ecounts2 = _occurrences(edges2)
+        bnd_edge_occ2 = eorder2[estarts2[ecounts2 == 1]]
+        bnd_edges = np.unique(edges2[bnd_edge_occ2], axis=0)
+        bnd_faces = np.empty((0, 3), dtype=np.int64)
+    bnd_nodes = np.unique(bnd_edges)
+
+    interior_base = np.setdiff1d(np.arange(base.nnodes), bnd_nodes)
+
+    level_plans = []
+    for k in range(nlevels):
+        num = ref.numbering[k]
+        n_local = ref.levels[k].nnodes
+
+        classes = []
+        # face class (3D only, interior nodes per face)
+        if dim == 3 and len(num.faces.interior):
+            npf = len(num.faces.interior[0])
+            face_nodes = np.stack(num.faces.interior).astype(np.int64)
+            classes.append(("face", face_table, face_nodes, npf))
+        # edge class
+        npe = len(num.edges.interior[0])
+        edge_nodes = np.stack(num.edges.interior).astype(np.int64)
+        classes.append(("edge", edge_table, edge_nodes, npe))
+        # corner class
+        corner_nodes = num.corners[:, None].astype(np.int64)
+        classes.append(("corner", corner_table, corner_nodes, 1))
+
+        slot_e, slot_n, slot_g = [], [], []
+        nonfirst_e, nonfirst_n = [], []
+        group_offset = 0
+        bmask = np.ones((E, n_local), dtype=dtype)
+
+        for name, ltab, lnodes, m in classes:
+            tabs = _class_tables(base.elements, ltab, lnodes)
+            ie, inode, igroup, ng = tabs["iface"]
+            if m > 0 and len(ie):
+                slot_e.append(ie)
+                slot_n.append(inode)
+                slot_g.append(igroup + group_offset)
+            group_offset += ng
+            nfe, nfn = tabs["nonfirst"]
+            if m > 0 and len(nfe):
+                nonfirst_e.append(nfe)
+                nonfirst_n.append(nfn)
+
+            # Boundary zeroing: all owners of boundary cells of this class.
+            if name == "face":
+                bnd_cells = bnd_faces
+            elif name == "edge":
+                bnd_cells = bnd_edges
+            else:
+                bnd_cells = bnd_nodes[:, None]
+            if m > 0 and len(bnd_cells):
+                is_bnd = _rows_in(tabs["cells"], bnd_cells)
+                occ = np.flatnonzero(is_bnd)
+                be = tabs["elem"][occ]
+                bl = tabs["local"][occ]
+                bmask[np.repeat(be, m), lnodes[bl].ravel()] = 0.0
+
+        if slot_e:
+            combine = CombineTable(
+                np.concatenate(slot_e).astype(np.int32),
+                np.concatenate(slot_n).astype(np.int32),
+                np.concatenate(slot_g).astype(np.int32),
+                group_offset,
+            )
+        else:
+            z = np.empty(0, dtype=np.int32)
+            combine = CombineTable(z, z, z, 0)
+
+        first_mask = np.ones((E, n_local), dtype=dtype)
+        if nonfirst_e:
+            first_mask[
+                np.concatenate(nonfirst_e), np.concatenate(nonfirst_n)
+            ] = 0.0
+
+        level_plans.append(LevelPlan(combine, bmask, first_mask))
+
+    return GridPlan(base, ref, level_plans, interior_base)

@@ -1,0 +1,267 @@
+"""Matrix-free geometric multigrid on the implicit fine grid (device, JAX).
+
+Rebuild of src/multigrid.jl: V-cycles with a CG smoother and a directly
+factorized coarse (= base mesh) level. The whole V-cycle is a pure function
+over static shapes and is jitted end to end; the CG smoother runs a fixed
+number of steps (unrolled at trace time, like the reference's fixed `steps`).
+
+Semantics intentionally mirrored from the reference (for iteration-count
+parity):
+  * the smoother's dot products run over the duplicated-interface layout and
+    therefore double-count shared DOFs — the documented "approximate CG"
+    (src/examples/homogenized_coefficients.jl:136-139);
+  * restriction acts on the *local* (non-combined) residual
+    (src/multigrid.jl:102-105); linearity makes the combined coarse rhs right;
+  * recursive levels smooth with 2 CG steps regardless of the finest level's
+    step count (the reference recursion drops the `steps` argument,
+    src/multigrid.jl:109).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import assemble_operator
+from ..fem.local_operators import build_level_operators, element_coefficients
+from ..ops.apply import element_apply
+from ..ops.interfaces import apply_mask, combine_interfaces, copy_to_base, distribute
+from ..ops.plan import GridPlan
+from ..ops.transfer import prolong_add, restrict
+from ..mesh.reference import prolongation_dense
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelDevice:
+    """Per-level static device data (closure constants of the jitted cycle)."""
+
+    stack: jnp.ndarray  # [P, n, n]
+    slot_elem: jnp.ndarray
+    slot_node: jnp.ndarray
+    slot_group: jnp.ndarray
+    n_groups: int
+    boundary_mask: jnp.ndarray  # [E, n]
+    first_copy_mask: jnp.ndarray  # [E, n]
+    P_up: jnp.ndarray | None  # prolongation to this level from below [n_k, n_{k-1}]
+
+
+class MultigridSolver:
+    """Owns device constants and jitted kernels for one (base mesh, nlevels).
+
+    Coefficients (sigma, lambda) are *arguments* of the jitted functions so the
+    homogenization driver can halve lambda without recompiling.
+    """
+
+    def __init__(
+        self,
+        plan: GridPlan,
+        dtype=jnp.float64,
+        smoothing_steps: int = 3,
+        coarse_smoothing_steps: int = 2,
+        coarse: str = "chol",
+        coarse_cg_tol: float = 1e-12,
+        coarse_cg_maxiter: int = 500,
+    ):
+        self.plan = plan
+        self.dtype = dtype
+        self.nlevels = plan.nlevels
+        self.smoothing_steps = smoothing_steps
+        self.coarse_smoothing_steps = coarse_smoothing_steps
+        self.coarse_kind = coarse
+        self.coarse_cg_tol = coarse_cg_tol
+        self.coarse_cg_maxiter = coarse_cg_maxiter
+
+        ref_ops = build_level_operators(plan.reference, dtype=np.float64)
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+        self.levels: list[LevelDevice] = []
+        for k in range(self.nlevels):
+            lp = plan.levels[k]
+            P_up = (
+                jnp.asarray(prolongation_dense(plan.reference, k - 1), dtype=dtype)
+                if k > 0
+                else None
+            )
+            self.levels.append(
+                LevelDevice(
+                    stack=jnp.asarray(ref_ops[k].stack, dtype=dtype),
+                    slot_elem=jnp.asarray(lp.combine.slot_elem),
+                    slot_node=jnp.asarray(lp.combine.slot_node),
+                    slot_group=jnp.asarray(lp.combine.slot_group),
+                    n_groups=lp.combine.n_groups,
+                    boundary_mask=jnp.asarray(lp.boundary_mask, dtype=dtype),
+                    first_copy_mask=jnp.asarray(lp.first_copy_mask, dtype=dtype),
+                    P_up=P_up,
+                )
+            )
+
+        self.base_elements = jnp.asarray(plan.base.elements.astype(np.int32))
+        self.n_base_nodes = plan.base.nnodes
+        self.interior_idx = jnp.asarray(plan.interior_base_nodes.astype(np.int32))
+        self._np_dtype = np_dtype
+
+        self._vcycle = jax.jit(self._vcycle_impl)
+        self._smooth_fine = jax.jit(partial(self._smooth, k=self.nlevels - 1, steps=smoothing_steps))
+
+    # ------------------------------------------------------------------ #
+    # coefficient / coarse-operator setup (host precompute per outer step)
+    # ------------------------------------------------------------------ #
+    def coefficients(self, sigma_el, lam: float):
+        """[E, P] apply coefficients per level (same for all levels — the
+        reference likewise shares sigma/lambda across levels)."""
+        c = element_coefficients(self.plan.base, sigma_el, lam, dtype=self._np_dtype)
+        return jnp.asarray(c)
+
+    def coarse_cholesky(self, sigma_el, lam: float):
+        """Dense Cholesky factor of the interior coarse operator
+        (reference: cholesky(assemble_checkerboard(...)[int,int]),
+        src/examples/homogenized_coefficients.jl:259-261)."""
+        A = assemble_operator(self.plan.base, sigma_el, lam, dtype=np.float64)
+        ii = self.plan.interior_base_nodes
+        A_int = A[np.ix_(ii, ii)].toarray()
+        L = np.linalg.cholesky(A_int)
+        return jnp.asarray(L.astype(self._np_dtype))
+
+    # ------------------------------------------------------------------ #
+    # device building blocks (traced)
+    # ------------------------------------------------------------------ #
+    def _combine(self, x, k):
+        L = self.levels[k]
+        return combine_interfaces(x, L.slot_elem, L.slot_node, L.slot_group, L.n_groups)
+
+    def _constrain(self, x, k):
+        return apply_mask(x, self.levels[k].boundary_mask)
+
+    def _apply_op(self, x, coeff, k):
+        return element_apply(x, coeff, self.levels[k].stack)
+
+    def _local_residual(self, x, b, coeff, k):
+        """r = constrain(b - A x) (reference: local_residual!,
+        src/apply_local_operators.jl:7-27)."""
+        return self._constrain(b - self._apply_op(x, coeff, k), k)
+
+    @staticmethod
+    def _safe_div(num, den):
+        """num / den, but 0 when den == 0: once the smoother has converged
+        exactly, further CG updates degenerate to 0/0 — make them no-ops
+        (the reference would NaN here too, it just never converges exactly)."""
+        return jnp.where(den == 0, jnp.zeros_like(num), num / jnp.where(den == 0, 1, den))
+
+    def _smooth(self, x, b, coeff, *, k, steps):
+        """`steps` CG iterations (reference: smoothing_steps!,
+        src/multigrid.jl:46-71). Returns (x, r)."""
+        r = self._combine(self._local_residual(x, b, coeff, k), k)
+        p = r
+        rs = jnp.vdot(r, r)
+        for _ in range(steps):
+            Ap = self._combine(self._constrain(self._apply_op(p, coeff, k), k), k)
+            alpha = self._safe_div(rs, jnp.vdot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.vdot(r, r)
+            p = r + self._safe_div(rs_new, rs) * p
+            rs = rs_new
+        return x, r
+
+    def _coarse_solve_chol(self, b0, chol):
+        """Direct coarse solve (reference: vcycle! k==1 branch,
+        src/multigrid.jl:74-93)."""
+        u = copy_to_base(b0, self.base_elements, self.n_base_nodes)
+        b_int = u[self.interior_idx]
+        sol_int = jax.scipy.linalg.cho_solve((chol, True), b_int)
+        sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
+        sol = sol.at[self.interior_idx].set(sol_int)
+        return distribute(sol, self.base_elements)
+
+    def _coarse_solve_cg(self, b0, coeff):
+        """Matrix-free coarse solve: CG on the level-0 duplicated layout with
+        exact (first-copy weighted) dot products. Scales to large base meshes
+        where a dense factorization no longer fits."""
+        w = self.levels[0].first_copy_mask
+
+        def dot(a, b):
+            return jnp.vdot(a * w, b)
+
+        b = self._constrain(self._combine(b0, 0), 0)
+        x = jnp.zeros_like(b)
+        r = b
+        p = r
+        rs = dot(r, r)
+        eps2 = jnp.asarray(self.coarse_cg_tol, b.dtype) ** 2 * (rs + 1e-300)
+
+        def body(state):
+            x, r, p, rs, i = state
+            Ap = self._combine(self._constrain(self._apply_op(p, coeff, 0), 0), 0)
+            alpha = self._safe_div(rs, dot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = dot(r, r)
+            p = r + self._safe_div(rs_new, rs) * p
+            return x, r, p, rs_new, i + 1
+
+        def cond(state):
+            _, _, _, rs_c, i = state
+            return jnp.logical_and(rs_c > eps2, i < self.coarse_cg_maxiter)
+
+        x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+        return x
+
+    def _vcycle_impl(self, xs, bs, coeff, chol):
+        """One V-cycle over all levels; returns (xs, r_finest).
+
+        `coeff` is a single [E, P] array shared by all levels: the apply
+        coefficients depend only on base-element geometry, sigma and lambda
+        (the per-level reference stacks differ, the coefficients do not).
+        """
+        xs = list(xs)
+        bs = list(bs)
+        top = self.nlevels - 1
+
+        def descend(k):
+            if k == 0:
+                if self.coarse_kind == "chol":
+                    xs[0] = self._coarse_solve_chol(bs[0], chol)
+                else:
+                    xs[0] = self._coarse_solve_cg(bs[0], coeff)
+                return None
+            steps = self.smoothing_steps if k == top else self.coarse_smoothing_steps
+            x, r = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps)
+            r_local = self._local_residual(x, bs[k], coeff, k)
+            bs[k - 1] = restrict(r_local, self.levels[k].P_up)
+            xs[k - 1] = jnp.zeros_like(xs[k - 1])
+            descend(k - 1)
+            x = prolong_add(x, xs[k - 1], self.levels[k].P_up)
+            x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps)
+            xs[k] = x
+            return r
+
+        r_fine = descend(top)
+        return tuple(xs), r_fine
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+    def zero_states(self):
+        E = self.plan.base.nelements
+        xs = tuple(
+            jnp.zeros((E, self.plan.n_local(k)), dtype=self.dtype)
+            for k in range(self.nlevels)
+        )
+        return xs, xs
+
+    def vcycle(self, xs, bs, coeff, chol=None):
+        if chol is None:
+            assert self.coarse_kind != "chol", "chol factor required"
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        return self._vcycle(xs, bs, coeff, chol)
+
+    def residual_norm(self, r, k=None):
+        """Norm with each fine DOF counted once (reference:
+        zero_out_all_but_one! + norm, src/implicit_fine_grid.jl:334-386)."""
+        k = self.nlevels - 1 if k is None else k
+        rr = apply_mask(r, self.levels[k].first_copy_mask)
+        return jnp.sqrt(jnp.vdot(rr, rr))

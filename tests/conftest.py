@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices and 64-bit floats.
+
+Accuracy parity with the f64 Julia reference requires x64; sharding tests use
+the virtual CPU mesh (real multi-chip TPU hardware is exercised separately by
+the driver's dryrun).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
