@@ -3,6 +3,11 @@
 Rebuild of broadcast_interfaces!, apply_constraint!, zero_out_all_but_one!,
 copy_to_base! and distribute! (src/implicit_fine_grid.jl:80-386) as pure
 functions over the [E, n_local] state with static index tables (ops/plan.py).
+
+Slots are addressed by *flattened* indices (elem * n_local + node): XLA's
+scatter compiles orders of magnitude faster for rank-1 updates than for the
+equivalent two-index-vector form (measured: 1.3s vs 134s on the CPU backend
+for the same table).
 """
 
 from __future__ import annotations
@@ -11,33 +16,36 @@ import jax
 import jax.numpy as jnp
 
 
-def combine_interfaces(x, slot_elem, slot_node, slot_group, n_groups: int):
+def combine_interfaces(x, slot_flat, slot_group, n_groups: int):
     """Sum duplicated interface DOFs and write the sum back to every copy.
 
     Reference: broadcast_interfaces!, src/implicit_fine_grid.jl:209-328
     (sequential gather-sum-scatter per shared cell) -> one gather +
-    segment_sum + scatter.
+    segment_sum + scatter. x: [E, n_local].
     """
     if n_groups == 0:
         return x
-    vals = x[slot_elem, slot_node]
+    shape = x.shape
+    xf = x.reshape(-1)
+    vals = xf[slot_flat]
     sums = jax.ops.segment_sum(vals, slot_group, num_segments=n_groups)
-    return x.at[slot_elem, slot_node].set(
-        sums[slot_group], unique_indices=True, mode="drop"
-    )
+    xf = xf.at[slot_flat].set(sums[slot_group], unique_indices=True, mode="drop")
+    return xf.reshape(shape)
 
 
-def interface_sums(x, slot_elem, slot_node, slot_group, n_groups: int):
+def interface_sums(x, slot_flat, slot_group, n_groups: int):
     """Just the per-group sums (used by the sharded halo-exchange variant)."""
-    vals = x[slot_elem, slot_node]
+    vals = x.reshape(-1)[slot_flat]
     return jax.ops.segment_sum(vals, slot_group, num_segments=n_groups)
 
 
-def scatter_groups(x, sums, slot_elem, slot_node, slot_group):
+def scatter_groups(x, sums, slot_flat, slot_group):
     """Write group values back to every slot copy."""
-    return x.at[slot_elem, slot_node].set(
+    shape = x.shape
+    xf = x.reshape(-1).at[slot_flat].set(
         sums[slot_group], unique_indices=True, mode="drop"
     )
+    return xf.reshape(shape)
 
 
 def apply_mask(x, mask):
@@ -58,7 +66,7 @@ def copy_to_base(b, base_elements, n_base_nodes: int):
     b: [E, N] -> [n_base_nodes].
     """
     u = jnp.zeros((n_base_nodes,), dtype=b.dtype)
-    return u.at[base_elements].add(b)
+    return u.at[base_elements.reshape(-1)].add(b.reshape(-1))
 
 
 def distribute(u, base_elements):

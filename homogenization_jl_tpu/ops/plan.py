@@ -43,6 +43,14 @@ class CombineTable:
     slot_group: np.ndarray  # [S] int32, physical fine DOF id
     n_groups: int
 
+    def flat(self, n_local: int) -> np.ndarray:
+        """Flattened slot indices elem * n_local + node (int32 when they fit;
+        rank-1 scatters compile far faster than two-index-vector ones)."""
+        idx = self.slot_elem.astype(np.int64) * n_local + self.slot_node
+        if idx.size and idx.max() < np.iinfo(np.int32).max:
+            return idx.astype(np.int32)
+        return idx
+
 
 @dataclasses.dataclass(frozen=True)
 class LevelPlan:

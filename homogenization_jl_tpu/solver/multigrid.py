@@ -40,9 +40,8 @@ class LevelDevice:
     """Per-level static device data (closure constants of the jitted cycle)."""
 
     stack: jnp.ndarray  # [P, n, n]
-    slot_elem: jnp.ndarray
-    slot_node: jnp.ndarray
-    slot_group: jnp.ndarray
+    slot_flat: jnp.ndarray  # [S] flattened slot indices (elem * n_local + node)
+    slot_group: jnp.ndarray  # [S]
     n_groups: int
     boundary_mask: jnp.ndarray  # [E, n]
     first_copy_mask: jnp.ndarray  # [E, n]
@@ -89,8 +88,7 @@ class MultigridSolver:
             self.levels.append(
                 LevelDevice(
                     stack=jnp.asarray(ref_ops[k].stack, dtype=dtype),
-                    slot_elem=jnp.asarray(lp.combine.slot_elem),
-                    slot_node=jnp.asarray(lp.combine.slot_node),
+                    slot_flat=jnp.asarray(lp.combine.flat(plan.n_local(k))),
                     slot_group=jnp.asarray(lp.combine.slot_group),
                     n_groups=lp.combine.n_groups,
                     boundary_mask=jnp.asarray(lp.boundary_mask, dtype=dtype),
@@ -131,7 +129,7 @@ class MultigridSolver:
     # ------------------------------------------------------------------ #
     def _combine(self, x, k):
         L = self.levels[k]
-        return combine_interfaces(x, L.slot_elem, L.slot_node, L.slot_group, L.n_groups)
+        return combine_interfaces(x, L.slot_flat, L.slot_group, L.n_groups)
 
     def _constrain(self, x, k):
         return apply_mask(x, self.levels[k].boundary_mask)

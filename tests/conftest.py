@@ -16,3 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+from homogenization_jl_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()

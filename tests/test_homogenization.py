@@ -1,0 +1,225 @@
+"""Checkerboard homogenization driver tests.
+
+Cross-language RNG prevents reproducing the reference's exact sigma values
+(SURVEY.md §6); instead we pin our own conductivity fixtures and check
+(a) determinism, (b) the known asymptotics E[xi.A xi] = 5 with sigma in a
+plausible band (reference values for n=5, 2D: 1.61/1.89/1.95 for refinements
+1/2/3), and (c) agreement of the k=0 recurrence step against an explicit
+direct solve of the same shifted problem."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import scipy.sparse.linalg as spl
+
+from homogenization_jl_tpu.fem.assembly import assemble_operator
+from homogenization_jl_tpu.fem.local_operators import (
+    mass_matrix,
+    partial_derivative_functionals,
+)
+from homogenization_jl_tpu.mesh.grid import affine_maps, interior_nodes
+from homogenization_jl_tpu.mesh.refine import refine_uniformly
+from homogenization_jl_tpu.models.checkerboard import (
+    checkerboard_homogenization,
+    compute_boundary_layer,
+    compute_box_radius,
+    conductivity_per_element,
+    generate_conductivity,
+    initial_rhs,
+    ordered_hypercube,
+    prefix_in_radius,
+)
+
+
+def test_schedule_values():
+    # reference docstring: n=5 2D initial domain [-37,37]^2, n=3 3D [-13,13]^3
+    assert compute_box_radius(0, 5) + compute_boundary_layer(1.0, 5) == 56  # 2^5 + 24
+    assert compute_box_radius(0, 3) + compute_boundary_layer(1.0, 3) == 24
+    # (the docstring's 37 = 32 + ... uses 4(n+1)sqrt(1)=24 -> 56? The quoted
+    # [-37,37] in the reference docstring corresponds to refinements-dependent
+    # sizes; the formulas here are the reference's own, :9-10.)
+    assert compute_boundary_layer(0.5, 3) == int(16 / np.sqrt(0.5))
+    assert compute_box_radius(2, 5) == 16  # floor(2^(5 - 2*0.5))
+    assert compute_box_radius(3, 5) == 11  # floor(2^3.5)
+
+
+def test_ordered_hypercube_prefix_properties():
+    mesh, node_norms, center_norms = ordered_hypercube(2, 4)
+    assert np.all(np.diff(node_norms) >= 0)
+    assert np.all(np.diff(center_norms) >= 0)
+    # prefix of elements within radius 2 covers the [-2,2]^2 box: 2*(4)^2 tris
+    ne = prefix_in_radius(center_norms, 2)
+    assert ne == 2 * 16
+    nn = prefix_in_radius(node_norms, 2, eps=1e-12)
+    assert nn == 25
+    # element rows sorted, indices within node prefix
+    assert np.all(np.diff(mesh.elements, axis=1) > 0)
+    assert mesh.elements[:ne].max() < nn
+
+
+def test_conductivity_lookup():
+    mesh, _, _ = ordered_hypercube(2, 2)
+    rng = np.random.default_rng(0)
+    field = generate_conductivity(2, 4, rng)
+    sig = conductivity_per_element(mesh, field, np.array([2.0, 2.0]))
+    # both triangles of a unit cell share the cell's conductivity
+    centers = mesh.nodes[mesh.elements].mean(axis=1)
+    idx = np.floor(centers + 2.0).astype(int)
+    assert np.array_equal(sig, field[idx[:, 0], idx[:, 1]])
+    assert set(np.unique(sig)) <= {1.0, 9.0}
+
+
+def test_initial_rhs_matches_explicit_assembly():
+    """b0 must equal the explicit assembly of F(v) = -int (sigma xi) . grad v
+    over the refined mesh, elementwise on the duplicated layout."""
+    from homogenization_jl_tpu.ops.plan import build_grid_plan
+    from homogenization_jl_tpu.mesh.grid import hypercube
+
+    dim, n, levels = 2, 2, 3
+    base = hypercube(dim, n)
+    rng = np.random.default_rng(5)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, dim))
+    xi = np.ones(dim) / np.sqrt(dim)
+    plan = build_grid_plan(base, levels)
+    b0 = initial_rhs(plan, sigma, xi)  # [E, n_local]
+
+    # explicit: per fine element t (child of base e), local contribution to
+    # node i:  -int_t (sigma_e xi) . grad phi_i
+    fine = refine_uniformly(base, times=levels - 1)
+    children = fine.nelements // base.nelements
+    sigma_fine = np.repeat(sigma, children, axis=0)
+    from homogenization_jl_tpu.fem.quadrature import basis_gradients, simplex_measure
+
+    _, _, detJ, Jinv = affine_maps(fine)
+    ghat = basis_gradients(dim)
+    G = np.einsum("tdk,km->tdm", np.swapaxes(Jinv, 1, 2), ghat)  # phys grads
+    w = simplex_measure(dim) * detJ
+    contrib = -np.einsum("t,td,tdm->tm", w, sigma_fine * xi, G)
+    b_explicit = np.zeros(fine.nnodes)
+    np.add.at(b_explicit, fine.elements, contrib)
+
+    # combine the duplicated b0 and compare through the coordinate mapping
+    from homogenization_jl_tpu.ops.interfaces import combine_interfaces
+    from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+    solver = MultigridSolver(plan, coarse="cg")
+    L = solver.levels[levels - 1]
+    b0c = combine_interfaces(jnp.asarray(b0), L.slot_flat, L.slot_group, L.n_groups)
+
+    J, shift, _, _ = affine_maps(base)
+    refn = plan.reference.levels[levels - 1].nodes
+    allx = (np.einsum("eij,nj->eni", J, refn) + shift[:, None, :]).reshape(-1, dim)
+
+    def key(a):
+        return (
+            np.ascontiguousarray(np.round(a * 2**20).astype(np.int64))
+            .view([("", np.int64)] * dim)
+            .ravel()
+        )
+
+    fk = key(fine.nodes)
+    order = np.argsort(fk)
+    mapping = order[np.searchsorted(fk[order], key(allx))]
+    err = np.abs(b_explicit[mapping] - np.asarray(b0c).reshape(-1)).max()
+    assert err < 1e-13
+
+
+def test_homogenization_2d_deterministic_and_plausible():
+    s1 = checkerboard_homogenization(2, dim=2, refinements=1, tolerance=1e-4, seed=7)
+    s2 = checkerboard_homogenization(2, dim=2, refinements=1, tolerance=1e-4, seed=7)
+    assert s1 == s2  # bit-exact determinism with a pinned seed
+    # plausible band: sigma corrects E=5 toward a_hom in (1, 5)
+    assert 0.5 < s1 < 4.0
+
+
+def test_homogenization_k0_against_direct_solve():
+    """For k=0 the recurrence computes sigma_0 = int v0 (b-density + M v0) /
+    area with (lam - div a grad) v0 = -div(a xi). Solve the same problem
+    directly on the explicit mesh and compare the integral."""
+    dim, n_exp, refinements = 2, 2, 1
+    tol = 1e-10
+    sig, trace = checkerboard_homogenization(
+        n_exp,
+        dim=dim,
+        refinements=refinements,
+        tolerance=tol,
+        seed=11,
+        max_cycles=300,
+        return_trace=True,
+    )
+
+    # replicate setup
+    lam = 1.0
+    box_radius = compute_box_radius(0, n_exp)
+    total_radius = box_radius + compute_boundary_layer(lam, n_exp)
+    base, node_norms, center_norms = ordered_hypercube(dim, total_radius)
+    rng = np.random.default_rng(11)
+    field = generate_conductivity(dim, 2 * total_radius, rng)
+    sigma_el = conductivity_per_element(base, field, np.full(dim, float(total_radius)))
+    xi = np.ones(dim) / np.sqrt(dim)
+
+    fine = refine_uniformly(base, times=refinements)
+    children = fine.nelements // base.nelements
+    sigma_fine = np.repeat(sigma_el, children, axis=0)
+
+    # assemble (lam*M + A) and rhs -int (sigma xi) . grad v
+    A = assemble_operator(fine, sigma_fine, lam)
+    from homogenization_jl_tpu.fem.quadrature import basis_gradients, simplex_measure
+
+    _, _, detJ, Jinv = affine_maps(fine)
+    G = np.einsum("tdk,km->tdm", np.swapaxes(Jinv, 1, 2), basis_gradients(dim))
+    w = simplex_measure(dim) * detJ
+    b = np.zeros(fine.nnodes)
+    np.add.at(b, fine.elements, -np.einsum("t,td,tdm->tm", w, sigma_fine * xi, G))
+
+    ii = interior_nodes(fine)
+    v0 = np.zeros(fine.nnodes)
+    v0[ii] = spl.spsolve(A[np.ix_(ii, ii)].tocsc(), b[ii])
+
+    # sigma_0 = int_box v0 (f + v0) with f the rhs density, via FEM integrals:
+    # = v0 . b_box + v0 . M_box v0 over the box subset
+    n_box = prefix_in_radius(center_norms, box_radius)
+    keep = np.zeros(base.nelements, dtype=bool)
+    keep[:n_box] = True
+    keep_fine = np.repeat(keep, children)
+    Mbox = mass_matrix_subset(fine, keep_fine)
+    bbox = rhs_subset(fine, keep_fine, sigma_fine, xi)
+    area = float(np.sum(detJ[keep_fine]) * simplex_measure(dim))
+    integral = v0 @ bbox + v0 @ (Mbox @ v0)
+    sigma0_direct = integral / area
+
+    assert abs(trace.sigma_steps[0] - sigma0_direct) < 5e-7, (
+        trace.sigma_steps[0],
+        sigma0_direct,
+    )
+
+
+def mass_matrix_subset(mesh, keep):
+    """Mass matrix assembled over a subset of elements."""
+    import scipy.sparse as sp
+    from homogenization_jl_tpu.fem.quadrature import basis_values, quad_rule
+
+    d = mesh.dim
+    pts, wq = quad_rule(d)
+    phi = basis_values(pts)
+    _, _, detJ, _ = affine_maps(mesh)
+    M_ref = np.einsum("q,qi,qj->ij", wq, phi, phi)
+    M_loc = (detJ * keep)[:, None, None] * M_ref[None]
+    el = mesh.elements
+    N = el.shape[1]
+    rows = np.broadcast_to(el[:, :, None], M_loc.shape).ravel()
+    cols = np.broadcast_to(el[:, None, :], M_loc.shape).ravel()
+    return sp.coo_matrix((M_loc.ravel(), (rows, cols)), shape=(mesh.nnodes,) * 2).tocsr()
+
+
+def rhs_subset(mesh, keep, sigma_fine, xi):
+    from homogenization_jl_tpu.fem.quadrature import basis_gradients, simplex_measure
+
+    d = mesh.dim
+    _, _, detJ, Jinv = affine_maps(mesh)
+    G = np.einsum("tdk,km->tdm", np.swapaxes(Jinv, 1, 2), basis_gradients(d))
+    w = simplex_measure(d) * detJ * keep
+    b = np.zeros(mesh.nnodes)
+    np.add.at(b, mesh.elements, -np.einsum("t,td,tdm->tm", w, sigma_fine * xi, G))
+    return b

@@ -1,0 +1,68 @@
+"""Multigrid convergence + solution correctness (reference:
+docs/src/index.md:282-304 residual-contraction demo and
+test/local_operators.jl's test_multigrid)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from homogenization_jl_tpu.fem.assembly import assemble_operator
+from homogenization_jl_tpu.fem.local_operators import load_vector
+from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube, interior_nodes
+from homogenization_jl_tpu.mesh.refine import refine_uniformly
+from homogenization_jl_tpu.models.poisson import checkerboard_hypercube_multigrid
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+
+@pytest.mark.parametrize("dim,n,levels,coarse", [(2, 4, 3, "chol"), (3, 2, 3, "chol"), (2, 4, 3, "cg")])
+def test_vcycle_contracts_and_matches_direct(dim, n, levels, coarse):
+    import scipy.sparse.linalg as spl
+
+    history, x, solver = checkerboard_hypercube_multigrid(
+        n, dim=dim, refinements=levels - 1, max_cycles=12, coarse=coarse
+    )
+    # monotone-ish contraction, large total reduction
+    assert history[-1] < 1e-4 * history[0]
+
+    # compare against direct solve on the explicit fine mesh
+    plan = solver.plan
+    base = plan.base
+    fine = refine_uniformly(base, times=levels - 1)
+    rng = np.random.default_rng(1)
+    from homogenization_jl_tpu.models.checkerboard import (
+        conductivity_per_element,
+        generate_conductivity,
+    )
+
+    field = generate_conductivity(dim, n, rng)
+    sigma_fine = conductivity_per_element(fine, field, np.zeros(dim))
+    A = assemble_operator(fine, sigma_fine, 0.0)
+    b = load_vector(fine)
+    ii = interior_nodes(fine)
+    u = np.zeros(fine.nnodes)
+    u[ii] = spl.spsolve(A[np.ix_(ii, ii)].tocsc(), b[ii])
+
+    # map duplicated solution onto fine nodes by exact coordinates
+    J, shift, _, _ = affine_maps(base)
+    refn = plan.reference.levels[levels - 1].nodes
+    allx = (np.einsum("eij,nj->eni", J, refn) + shift[:, None, :]).reshape(-1, dim)
+
+    def key(a):
+        return (
+            np.ascontiguousarray(np.round(a * 2**20).astype(np.int64))
+            .view([("", np.int64)] * dim)
+            .ravel()
+        )
+
+    fk = key(fine.nodes)
+    order = np.argsort(fk)
+    mapping = order[np.searchsorted(fk[order], key(allx))]
+    err = np.abs(u[mapping] - np.asarray(x).reshape(-1)).max()
+    assert err < 50 * history[-1] + 1e-10, f"solution error {err} vs residual {history[-1]}"
+
+
+def test_vcycle_idempotent_on_solution():
+    """Once converged, extra V-cycles keep the residual at the floor."""
+    history, _, _ = checkerboard_hypercube_multigrid(2, dim=2, refinements=2, max_cycles=40)
+    assert history[-1] < 1e-11
