@@ -1,0 +1,97 @@
+"""Benchmark: GMG V-cycle DOF throughput on one TPU chip (3D checkerboard).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no timing numbers (BASELINE.md), so ``vs_baseline``
+is measured against a documented estimate of the reference's multithreaded
+CPU path: the hot loop is (d^2+1)=10 per-element CSC SpMVs with ~15 nnz/row
+shared reference matrices (src/apply_local_operators.jl:93-133), ~8 finest
+applies per V-cycle with 3 CG smoothing steps -> ~2.4 kFLOP/DOF/cycle, and an
+8-core 3 GHz CPU sustaining ~2 flops/cycle/core on cached SpMV gives
+~2e7 DOF-cycles/s. (Generous to the reference; the point is an order anchor.)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_CPU_DOF_PER_S = 2.0e7
+
+
+def main():
+    from homogenization_jl_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from homogenization_jl_tpu.fem.local_operators import load_vector
+    from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
+    from homogenization_jl_tpu.models.checkerboard import (
+        conductivity_per_element,
+        generate_conductivity,
+    )
+    from homogenization_jl_tpu.ops.plan import build_grid_plan
+    from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+    dim = int(os.environ.get("BENCH_DIM", 3))
+    n = int(os.environ.get("BENCH_N", 16))
+    nlevels = int(os.environ.get("BENCH_LEVELS", 5))
+    cycles = int(os.environ.get("BENCH_CYCLES", 10))
+    dtype = jnp.float32
+
+    base = hypercube(dim, n)
+    rng = np.random.default_rng(0)
+    field = generate_conductivity(dim, n, rng)
+    sigma = conductivity_per_element(base, field, np.zeros(dim))
+    plan = build_grid_plan(base, nlevels)
+    dofs = plan.base.nelements * plan.n_local(nlevels - 1)
+
+    solver = MultigridSolver(plan, dtype=dtype, coarse="chol")
+    coeff = solver.coefficients(sigma, 0.0)
+    chol = solver.coarse_cholesky(sigma, 0.0)
+    b_ref = load_vector(plan.reference.levels[nlevels - 1])
+    _, _, detJ, _ = affine_maps(base)
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
+
+    xs, bs = solver.zero_states()
+    bs = (*bs[:-1], b)
+
+    # warmup + compile
+    xs, r = solver.vcycle(xs, bs, coeff, chol)
+    jax.block_until_ready(xs)
+
+    t0 = time.perf_counter()
+    for _ in range(cycles):
+        xs, r = solver.vcycle(xs, bs, coeff, chol)
+    jax.block_until_ready(xs)
+    dt = (time.perf_counter() - t0) / cycles
+
+    value = dofs / dt
+    print(
+        json.dumps(
+            {
+                "metric": "gmg_vcycle_dof_per_s_per_chip_3d_checkerboard",
+                "value": value,
+                "unit": "DOF/s",
+                "vs_baseline": value / REFERENCE_CPU_DOF_PER_S,
+                "detail": {
+                    "dofs": dofs,
+                    "sec_per_vcycle": dt,
+                    "base_elements": plan.base.nelements,
+                    "n_local": plan.n_local(nlevels - 1),
+                    "levels": nlevels,
+                    "dtype": "float32",
+                    "device": str(jax.devices()[0]),
+                    "residual_norm": float(solver.residual_norm(r)),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,449 @@
+"""Element-axis sharding of the implicit fine grid (device mesh, shard_map).
+
+The reference's only parallel axis is base elements (round-robin threads,
+src/apply_local_operators.jl:40-46); here the same axis becomes the sharded
+leading dimension of every [E, n_local] state array over a 1D
+``jax.sharding.Mesh``. Everything except the interface combine is
+embarrassingly parallel:
+
+  * element apply / transfer / masks: local dense math per shard;
+  * CG dot products: local vdot + psum over ICI;
+  * interface combine: split per level into
+      - *intra-shard* groups (all copies of a fine DOF live on one shard):
+        local gather -> segment_sum -> scatter, zero communication;
+      - *cross-shard* groups (the shard-boundary "halo", O(surface)):
+        each shard computes partial sums into a replicated [G_cross] vector,
+        one psum over the mesh, then scatters back. This is the TPU-native
+        equivalent of the reference's broadcast_interfaces!
+        (src/implicit_fine_grid.jl:209-328) across address spaces — which the
+        reference does not have at all (threads share memory).
+  * coarse solve: the base-mesh rhs is psum-reduced to a replicated vector,
+    solved identically on every shard (tiny), and redistributed locally.
+
+Padding: E is padded to a multiple of the shard count with inert elements
+(zero coefficients, zero masks, out-of-range scatter slots that XLA drops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.plan import GridPlan
+from ..solver.multigrid import MultigridSolver
+
+AXIS = "e"
+
+
+# ---------------------------------------------------------------------------
+# host: split combine tables into intra-shard / cross-shard parts
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class ShardedLevelTables:
+    """Per-level sharded tables; all leading-axis-[n_shards] arrays."""
+
+    loc_gather: np.ndarray  # [S, L] local flat idx for gather (pad -> 0)
+    loc_scatter: np.ndarray  # [S, L] local flat idx for scatter (pad -> OOR)
+    loc_group: np.ndarray  # [S, L] shard-local group id (pad -> trash)
+    n_loc_groups: int  # static: max local groups over shards (+1 trash)
+    cross_gather: np.ndarray  # [S, C]
+    cross_scatter: np.ndarray  # [S, C]
+    cross_group: np.ndarray  # [S, C] global cross-group id (pad -> trash)
+    n_cross_groups: int  # static (+1 trash)
+
+
+def _pad_rows(rows: list, pad_val: int, width: int | None = None) -> np.ndarray:
+    width = max((len(r) for r in rows), default=0) if width is None else width
+    out = np.full((len(rows), max(width, 1)), pad_val, dtype=np.int64)
+    for s, r in enumerate(rows):
+        out[s, : len(r)] = r
+    return out
+
+
+def build_sharded_tables(
+    plan: GridPlan, level: int, n_shards: int, E_pad: int
+) -> ShardedLevelTables:
+    """Split the level's CombineTable by the block partition of elements."""
+    t = plan.levels[level].combine
+    n_local = plan.n_local(level)
+    B = E_pad // n_shards
+    size_local = B * n_local  # flat size of one shard's block
+
+    slot_shard = t.slot_elem.astype(np.int64) // B
+    # group -> does it span multiple shards?
+    order = np.argsort(t.slot_group, kind="stable")
+    g_sorted = t.slot_group[order]
+    s_sorted = slot_shard[order]
+    # for each group: min and max shard touching it
+    G = t.n_groups
+    min_s = np.full(G, n_shards, dtype=np.int64)
+    max_s = np.full(G, -1, dtype=np.int64)
+    np.minimum.at(min_s, g_sorted, s_sorted)
+    np.maximum.at(max_s, g_sorted, s_sorted)
+    cross = min_s != max_s  # [G]
+
+    # global numbering of cross groups
+    cross_ids = np.cumsum(cross) - 1  # valid where cross
+    n_cross = int(cross.sum())
+
+    loc_g, loc_s, loc_grp = [], [], []
+    cr_g, cr_s, cr_grp = [], [], []
+    slot_local_flat = (
+        (t.slot_elem.astype(np.int64) - slot_shard * B) * n_local + t.slot_node
+    )
+    is_cross_slot = cross[t.slot_group]
+    n_loc_groups = 0
+    for s in range(n_shards):
+        on_s = slot_shard == s
+        # local groups of this shard, relabeled densely
+        li = on_s & ~is_cross_slot
+        groups_here = t.slot_group[li]
+        uniq, inv = np.unique(groups_here, return_inverse=True)
+        n_loc_groups = max(n_loc_groups, len(uniq))
+        loc_g.append(slot_local_flat[li])
+        loc_s.append(slot_local_flat[li])
+        loc_grp.append(inv)
+        ci = on_s & is_cross_slot
+        cr_g.append(slot_local_flat[ci])
+        cr_s.append(slot_local_flat[ci])
+        cr_grp.append(cross_ids[t.slot_group[ci]])
+
+    return ShardedLevelTables(
+        loc_gather=_pad_rows(loc_g, 0),
+        loc_scatter=_pad_rows(loc_s, size_local),  # OOR -> dropped
+        loc_group=_pad_rows(loc_grp, n_loc_groups),
+        n_loc_groups=n_loc_groups + 1,  # + trash segment
+        cross_gather=_pad_rows(cr_g, 0),
+        cross_scatter=_pad_rows(cr_s, size_local),
+        cross_group=_pad_rows(cr_grp, n_cross),
+        n_cross_groups=n_cross + 1,
+    )
+
+
+def _pad_elems(a: np.ndarray, E_pad: int, fill=0.0):
+    pad = E_pad - a.shape[0]
+    if pad == 0:
+        return a
+    return np.concatenate(
+        [a, np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)], axis=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# the sharded solver
+# ---------------------------------------------------------------------------
+class ShardedMultigridSolver:
+    """MultigridSolver over a 1D device mesh, element axis sharded.
+
+    Public API mirrors MultigridSolver: states are global (padded) arrays
+    with NamedSharding; ``vcycle`` is one jitted shard_map program.
+    """
+
+    def __init__(
+        self,
+        plan: GridPlan,
+        mesh: Mesh,
+        dtype=jnp.float32,
+        smoothing_steps: int = 3,
+        coarse_smoothing_steps: int = 2,
+        coarse: str = "chol",
+        coarse_cg_tol: float = 1e-10,
+        coarse_cg_maxiter: int = 200,
+    ):
+        assert len(mesh.axis_names) == 1 and mesh.axis_names[0] == AXIS
+        self.plan = plan
+        self.mesh = mesh
+        self.dtype = dtype
+        self.nlevels = plan.nlevels
+        self.smoothing_steps = smoothing_steps
+        self.coarse_smoothing_steps = coarse_smoothing_steps
+        self.coarse_kind = coarse
+        self.coarse_cg_tol = coarse_cg_tol
+        self.coarse_cg_maxiter = coarse_cg_maxiter
+
+        S = mesh.devices.size
+        E = plan.base.nelements
+        self.n_shards = S
+        self.E_pad = ((E + S - 1) // S) * S
+        self.E = E
+
+        # reuse the dense per-level reference stacks from the single-chip path
+        inner = MultigridSolver(plan, dtype=dtype, coarse="cg")
+        self._np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+        self.sharding = NamedSharding(mesh, P(AXIS, None))
+        self.replicated = NamedSharding(mesh, P())
+
+        def dev(a, spec):
+            return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+        self.levels = []
+        for k in range(self.nlevels):
+            lp = plan.levels[k]
+            tabs = build_sharded_tables(plan, k, S, self.E_pad)
+            self.levels.append(
+                dict(
+                    stack=dev(inner.levels[k].stack, P()),
+                    boundary_mask=dev(
+                        _pad_elems(lp.boundary_mask, self.E_pad), P(AXIS, None)
+                    ),
+                    first_copy_mask=dev(
+                        _pad_elems(lp.first_copy_mask, self.E_pad), P(AXIS, None)
+                    ),
+                    P_up=dev(inner.levels[k].P_up, P()) if k > 0 else None,
+                    loc_gather=dev(tabs.loc_gather, P(AXIS, None)),
+                    loc_scatter=dev(tabs.loc_scatter, P(AXIS, None)),
+                    loc_group=dev(tabs.loc_group, P(AXIS, None)),
+                    n_loc_groups=tabs.n_loc_groups,
+                    cross_gather=dev(tabs.cross_gather, P(AXIS, None)),
+                    cross_scatter=dev(tabs.cross_scatter, P(AXIS, None)),
+                    cross_group=dev(tabs.cross_group, P(AXIS, None)),
+                    n_cross_groups=tabs.n_cross_groups,
+                )
+            )
+
+        self.base_elements = dev(
+            _pad_elems(plan.base.elements.astype(np.int32), self.E_pad, fill=0),
+            P(AXIS, None),
+        )
+        self.n_base_nodes = plan.base.nnodes
+        self.interior_idx = dev(plan.interior_base_nodes.astype(np.int32), P())
+        self._inner = inner
+
+        self._vcycle = jax.jit(self._make_vcycle())
+
+    # -- coefficients / coarse factor (host) ------------------------------ #
+    def coefficients(self, sigma_el, lam: float):
+        c = self._inner.coefficients(sigma_el, lam)
+        return jax.device_put(
+            jnp.asarray(_pad_elems(np.asarray(c), self.E_pad)), self.sharding
+        )
+
+    def coarse_cholesky(self, sigma_el, lam: float):
+        return jax.device_put(self._inner.coarse_cholesky(sigma_el, lam), self.replicated)
+
+    def zero_states(self):
+        xs = tuple(
+            jax.device_put(
+                jnp.zeros((self.E_pad, self.plan.n_local(k)), dtype=self.dtype),
+                self.sharding,
+            )
+            for k in range(self.nlevels)
+        )
+        return xs, xs
+
+    def put(self, x_np, level=None):
+        """Pad + shard a global [E, n_local] array."""
+        x_np = _pad_elems(np.asarray(x_np, dtype=self._np_dtype), self.E_pad)
+        return jax.device_put(jnp.asarray(x_np), self.sharding)
+
+    # -- traced building blocks (run inside shard_map on local blocks) ---- #
+    def _combine(self, x, L):
+        """Two-stage interface combine; x is the local [E_loc, n] block, the
+        table rows for this shard arrive as [1, ...] slices."""
+        shape = x.shape
+        xf = x.reshape(-1)
+        lg = L["loc_gather"][0]
+        ls = L["loc_scatter"][0]
+        lgr = L["loc_group"][0]
+        if lg.shape[0] > 0:
+            sums = jax.ops.segment_sum(xf[lg], lgr, num_segments=L["n_loc_groups"])
+            xf = xf.at[ls].set(sums[lgr], mode="drop", unique_indices=True)
+        cg = L["cross_gather"][0]
+        cs = L["cross_scatter"][0]
+        cgr = L["cross_group"][0]
+        if L["n_cross_groups"] > 1:
+            # padded slots contribute to the trash segment; gather idx 0 is
+            # harmless because its value lands in trash too
+            valid = cs < xf.shape[0]
+            vals = jnp.where(valid, xf[cg], 0)
+            partial = jax.ops.segment_sum(vals, cgr, num_segments=L["n_cross_groups"])
+            total = jax.lax.psum(partial, AXIS)
+            xf = xf.at[cs].set(total[cgr], mode="drop", unique_indices=True)
+        return xf.reshape(shape)
+
+    def _apply_op(self, x, coeff, L):
+        from ..ops.apply import element_apply
+
+        return element_apply(x, coeff, L["stack"])
+
+    def _dot(self, a, b):
+        return jax.lax.psum(jnp.vdot(a, b), AXIS)
+
+    def _smooth(self, x, b, coeff, L, steps):
+        bm = L["boundary_mask"]
+        r = self._combine((b - self._apply_op(x, coeff, L)) * bm, L)
+        p = r
+        rs = self._dot(r, r)
+        safe = MultigridSolver._safe_div
+        for _ in range(steps):
+            Ap = self._combine(self._apply_op(p, coeff, L) * bm, L)
+            alpha = safe(rs, self._dot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = self._dot(r, r)
+            p = r + safe(rs_new, rs) * p
+            rs = rs_new
+        return x, r
+
+    def _coarse_chol(self, b0, chol, elements):
+        u = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
+        u = u.at[elements.reshape(-1)].add(b0.reshape(-1))
+        u = jax.lax.psum(u, AXIS)
+        b_int = u[self.interior_idx]
+        sol_int = jax.scipy.linalg.cho_solve((chol, True), b_int)
+        sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
+        sol = sol.at[self.interior_idx].set(sol_int)
+        return sol[elements]
+
+    def _coarse_cg(self, b0, coeff, L):
+        w = L["first_copy_mask"]
+        bm = L["boundary_mask"]
+
+        def dot(a, b):
+            return jax.lax.psum(jnp.vdot(a * w, b), AXIS)
+
+        b = self._combine(b0, L) * bm
+        x = jnp.zeros_like(b)
+        r = b
+        p = r
+        rs = dot(r, r)
+        eps2 = jnp.asarray(self.coarse_cg_tol, b.dtype) ** 2 * (rs + 1e-30)
+        safe = MultigridSolver._safe_div
+
+        def body(state):
+            x, r, p, rs, i = state
+            Ap = self._combine(self._apply_op(p, coeff, L) * bm, L)
+            alpha = safe(rs, dot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = dot(r, r)
+            p = r + safe(rs_new, rs) * p
+            return x, r, p, rs_new, i + 1
+
+        def cond(state):
+            _, _, _, rs_c, i = state
+            return jnp.logical_and(rs_c > eps2, i < self.coarse_cg_maxiter)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+        return x
+
+    def _make_vcycle(self):
+        from ..ops.transfer import prolong_add, restrict
+
+        levels = self.levels
+        top = self.nlevels - 1
+        in_level_specs = dict(
+            stack=P(),
+            boundary_mask=P(AXIS, None),
+            first_copy_mask=P(AXIS, None),
+            P_up=P(),
+            loc_gather=P(AXIS, None),
+            loc_scatter=P(AXIS, None),
+            loc_group=P(AXIS, None),
+            cross_gather=P(AXIS, None),
+            cross_scatter=P(AXIS, None),
+            cross_group=P(AXIS, None),
+        )
+
+        def level_args(k):
+            return {
+                key: levels[k][key]
+                for key in in_level_specs
+                if levels[k][key] is not None
+            }
+
+        def level_specs(k):
+            return {
+                key: in_level_specs[key]
+                for key in in_level_specs
+                if levels[k][key] is not None
+            }
+
+        statics = [
+            dict(
+                n_loc_groups=levels[k]["n_loc_groups"],
+                n_cross_groups=levels[k]["n_cross_groups"],
+            )
+            for k in range(self.nlevels)
+        ]
+
+        def body(xs, bs, coeff, chol, elements, *level_arrays):
+            Ls = [dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)]
+            xs = list(xs)
+            bs = list(bs)
+
+            def descend(k):
+                if k == 0:
+                    if self.coarse_kind == "chol":
+                        xs[0] = self._coarse_chol(bs[0], chol, elements)
+                    else:
+                        xs[0] = self._coarse_cg(bs[0], coeff, Ls[0])
+                    return None
+                steps = (
+                    self.smoothing_steps if k == top else self.coarse_smoothing_steps
+                )
+                x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], steps)
+                r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
+                    "boundary_mask"
+                ]
+                bs[k - 1] = restrict(r_local, Ls[k]["P_up"])
+                xs[k - 1] = jnp.zeros_like(xs[k - 1])
+                descend(k - 1)
+                x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
+                x, r = self._smooth(x, bs[k], coeff, Ls[k], steps)
+                xs[k] = x
+                return r
+
+            r_fine = descend(top)
+            return tuple(xs), r_fine
+
+        state_spec = tuple(P(AXIS, None) for _ in range(self.nlevels))
+        in_specs = (
+            state_spec,
+            state_spec,
+            P(AXIS, None),  # coeff
+            P(),  # chol
+            P(AXIS, None),  # elements
+            *[level_specs(k) for k in range(self.nlevels)],
+        )
+        out_specs = (state_spec, P(AXIS, None))
+
+        smapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+        def vcycle(xs, bs, coeff, chol):
+            return smapped(
+                xs,
+                bs,
+                coeff,
+                chol,
+                self.base_elements,
+                *[level_args(k) for k in range(self.nlevels)],
+            )
+
+        return vcycle
+
+    # -- public ------------------------------------------------------------ #
+    def vcycle(self, xs, bs, coeff, chol=None):
+        if chol is None:
+            assert self.coarse_kind != "chol"
+            chol = jax.device_put(
+                jnp.zeros((0, 0), dtype=self.dtype), self.replicated
+            )
+        return self._vcycle(xs, bs, coeff, chol)
+
+    def residual_norm(self, r, k=None):
+        k = self.nlevels - 1 if k is None else k
+        rr = r * self.levels[k]["first_copy_mask"]
+        return jnp.sqrt(jnp.vdot(rr, rr))

@@ -1,0 +1,80 @@
+"""Sharded (8 virtual devices) vs single-device equivalence — the test class
+the reference never needed (SURVEY.md §4 item f)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from homogenization_jl_tpu.fem.local_operators import load_vector
+from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
+from homogenization_jl_tpu.models.checkerboard import (
+    conductivity_per_element,
+    generate_conductivity,
+)
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.parallel.sharding import ShardedMultigridSolver
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+
+def _setup(dim, n, levels, lam=0.0, seed=3):
+    base = hypercube(dim, n)
+    rng = np.random.default_rng(seed)
+    field = generate_conductivity(dim, n, rng)
+    sigma = conductivity_per_element(base, field, np.zeros(dim))
+    plan = build_grid_plan(base, levels)
+    b_ref = load_vector(plan.reference.levels[levels - 1])
+    _, _, detJ, _ = affine_maps(base)
+    b = detJ[:, None] * b_ref[None, :]
+    return plan, sigma, b
+
+
+@pytest.mark.parametrize("dim,n,levels,coarse", [(2, 4, 3, "chol"), (3, 2, 2, "chol"), (2, 4, 3, "cg")])
+def test_sharded_vcycle_matches_single_device(dim, n, levels, coarse):
+    plan, sigma, b_np = _setup(dim, n, levels)
+    lam = 0.3
+
+    ref = MultigridSolver(plan, dtype=jnp.float64, coarse=coarse)
+    coeff = ref.coefficients(sigma, lam)
+    chol = ref.coarse_cholesky(sigma, lam) if coarse == "chol" else None
+    xs, bs = ref.zero_states()
+    bs = (*bs[:-1], jnp.asarray(b_np))
+    for _ in range(3):
+        xs, r = ref.vcycle(xs, bs, coeff, chol)
+    x_single = np.asarray(xs[-1])
+    r_single = np.asarray(r)
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("e",))
+    sh = ShardedMultigridSolver(plan, mesh, dtype=jnp.float64, coarse=coarse)
+    coeff_s = sh.coefficients(sigma, lam)
+    chol_s = sh.coarse_cholesky(sigma, lam) if coarse == "chol" else None
+    xs_s, bs_s = sh.zero_states()
+    bs_s = (*bs_s[:-1], sh.put(b_np))
+    for _ in range(3):
+        xs_s, r_s = sh.vcycle(xs_s, bs_s, coeff_s, chol_s)
+
+    E = plan.base.nelements
+    x_sh = np.asarray(xs_s[-1])[:E]
+    err = np.abs(x_sh - x_single).max()
+    scale = np.abs(x_single).max()
+    assert err < 1e-9 * max(scale, 1.0), f"sharded mismatch {err} vs scale {scale}"
+    # padded rows stay inert
+    assert np.all(np.asarray(xs_s[-1])[E:] == 0)
+
+
+def test_cross_group_tables_cover_all_interface_dofs():
+    """Local + cross groups partition the combine table groups."""
+    from homogenization_jl_tpu.parallel.sharding import build_sharded_tables
+
+    plan, _, _ = _setup(3, 2, 3)
+    E = plan.base.nelements
+    S = 8
+    E_pad = ((E + S - 1) // S) * S
+    for k in range(plan.nlevels):
+        t = plan.levels[k].combine
+        tabs = build_sharded_tables(plan, k, S, E_pad)
+        n_loc_slots = int((tabs.loc_group < tabs.n_loc_groups - 1).sum())
+        n_cross_slots = int((tabs.cross_group < tabs.n_cross_groups - 1).sum())
+        assert n_loc_slots + n_cross_slots == len(t.slot_group)

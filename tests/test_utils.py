@@ -1,0 +1,89 @@
+"""VTK export, FFT fields, checkpointing."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from homogenization_jl_tpu.mesh.grid import hypercube
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.utils.checkpoint import load_step, save_step
+from homogenization_jl_tpu.utils.fft_field import generate_field
+from homogenization_jl_tpu.utils.vtk import (
+    construct_full_grid,
+    export_solution,
+    write_vtu,
+)
+
+
+def test_write_vtu_roundtrip_structure(tmp_path):
+    m = hypercube(2, 3)
+    f = write_vtu(
+        str(tmp_path / "mesh"),
+        m,
+        point_data={"u": np.arange(m.nnodes, dtype=np.float64)},
+        cell_data={"sigma": np.ones((m.nelements, 2))},
+    )
+    content = open(f).read()
+    assert content.startswith("<?xml")
+    assert f'NumberOfPoints="{m.nnodes}"' in content
+    assert f'NumberOfCells="{m.nelements}"' in content
+    assert 'Name="u"' in content and 'Name="sigma"' in content
+
+
+def test_construct_full_grid_counts():
+    # reference: construct_full_grid repeats interface nodes
+    base = hypercube(2, 2)
+    plan = build_grid_plan(base, 3)
+    full = construct_full_grid(plan, 2)
+    ref = plan.reference.levels[2]
+    assert full.nnodes == base.nelements * ref.nnodes
+    assert full.nelements == base.nelements * ref.nelements
+
+
+def test_export_solution(tmp_path):
+    base = hypercube(3, 1)
+    plan = build_grid_plan(base, 2)
+    x = np.ones((base.nelements, plan.n_local(1)))
+    f = export_solution(str(tmp_path / "sol"), plan, 1, x)
+    assert os.path.exists(f)
+
+
+def test_fft_field_properties():
+    key = jax.random.PRNGKey(0)
+    f = generate_field(key, (16, 16), p=1.5, alpha=3.0)
+    f = np.asarray(f)
+    assert f.shape == (16, 16)
+    assert np.all(f >= 1.0)  # exp(alpha*|x|) >= 1
+    assert np.isfinite(f).all()
+    # deterministic under the same key
+    f2 = np.asarray(generate_field(key, (16, 16), p=1.5, alpha=3.0))
+    assert np.array_equal(f, f2)
+    # 3d path
+    f3 = np.asarray(generate_field(key, (8, 8, 8)))
+    assert f3.shape == (8, 8, 8) and np.isfinite(f3).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((10, 6))
+    path = save_step(
+        str(tmp_path / "step0"),
+        k=1,
+        sigma=1.23,
+        lam=0.5,
+        box_radius=8,
+        total_radius=24,
+        x=x,
+        b=x * 2,
+        v_prev=None,
+        cond_field=rng.choice([1.0, 9.0], size=(4, 4, 2)),
+        xi=np.ones(2) / np.sqrt(2),
+        n=3,
+        refinements=1,
+    )
+    state = load_step(path)
+    assert state["k"] == 1 and state["sigma"] == 1.23 and state["lam"] == 0.5
+    assert np.array_equal(state["x"], x)
+    assert state["v_prev"] is None
