@@ -67,6 +67,10 @@ class MultilevelReference:
     levels: list
     numbering: list
     midpoint_edges: list
+    # Contiguous-interface layout (optional): perms[k] maps the construction
+    # numbering to the final numbering; layout[k] records the column blocks.
+    perms: list | None = None
+    layout: list | None = None
 
     @property
     def nlevels(self) -> int:
@@ -74,6 +78,23 @@ class MultilevelReference:
 
     def nodes_per_level(self, k: int) -> int:
         return self.levels[k].nnodes
+
+    def level_in_finer(self, k: int) -> np.ndarray:
+        """Index of each level-k node within level k+1 (identity prefix in
+        construction numbering, composed with the layout permutations)."""
+        nk = self.levels[k].nnodes
+        if self.perms is None:
+            return np.arange(nk, dtype=np.int64)
+        inv_k = np.empty(nk, dtype=np.int64)
+        inv_k[self.perms[k]] = np.arange(nk)
+        return self.perms[k + 1][inv_k]
+
+    def level_in_level(self, k: int, m: int) -> np.ndarray:
+        """Index of each level-k node within level m >= k."""
+        idx = np.arange(self.levels[k].nnodes, dtype=np.int64)
+        for j in range(k, m):
+            idx = self.level_in_finer(j)[idx]
+        return idx
 
 
 def _barycentric(nodes: np.ndarray) -> np.ndarray:
@@ -143,13 +164,136 @@ def prolongation_dense(ref: MultilevelReference, k: int, dtype=np.float64) -> np
     """Dense prolongation P_k: level-k -> level-(k+1) values, [n_{k+1}, n_k].
 
     Identity on existing nodes, 1/2 + 1/2 from edge endpoints on midpoints
-    (reference: interpolation_operator, src/interpolation.jl:7-50).
+    (reference: interpolation_operator, src/interpolation.jl:7-50). Expressed
+    in the final (possibly permuted) numbering.
     """
     nc = ref.levels[k].nnodes
     nf = ref.levels[k + 1].nnodes
-    edges = ref.midpoint_edges[k]
+    edges = ref.midpoint_edges[k]  # construction numbering of level k
     P = np.zeros((nf, nc), dtype=dtype)
     P[np.arange(nc), np.arange(nc)] = 1.0
     P[np.arange(nc, nf), edges[:, 0]] = 0.5
     P[np.arange(nc, nf), edges[:, 1]] += 0.5
+    if ref.perms is not None:
+        inv_f = np.empty(nf, dtype=np.int64)
+        inv_f[ref.perms[k + 1]] = np.arange(nf)
+        inv_c = np.empty(nc, dtype=np.int64)
+        inv_c[ref.perms[k]] = np.arange(nc)
+        P = P[np.ix_(inv_f, inv_c)]
     return P
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelLayout:
+    """Column blocks of the contiguous-interface node numbering:
+    [cell interior | face0 int | ... | edge0 int | ... | corners]."""
+
+    face_offsets: np.ndarray  # [n_local_faces] start col of each face block
+    npf: int
+    edge_offsets: np.ndarray  # [n_local_edges]
+    npe: int
+    corner_cols: np.ndarray  # [N]
+
+
+def with_contiguous_interface_layout(ref: MultilevelReference) -> MultilevelReference:
+    """Renumber each level's nodes so every sub-cell's interior DOFs form a
+    contiguous column block (in canonical in-cell order) and corners sit at
+    fixed columns. The interface combine then gathers/scatters rectangular
+    windows instead of scattered columns — the TPU-friendly layout.
+
+    Level 0 (corners only) keeps the identity numbering, preserving the
+    level-0 <-> base-node correspondence used by the coarse solve.
+    """
+    perms, layouts, new_levels, new_numbering = [], [], [], []
+    for k, mesh in enumerate(ref.levels):
+        num = ref.numbering[k]
+        n = mesh.nnodes
+        order = []
+        in_class = np.zeros(n, dtype=bool)
+
+        def push(ids):
+            ids = np.asarray(ids, dtype=np.int64)
+            assert not in_class[ids].any()
+            in_class[ids] = True
+            order.append(ids)
+
+        face_off, edge_off = [], []
+        # corners + boundary classes marked first; interior block leads so
+        # that level-0 (corners only) stays identity-numbered... except
+        # level 0 has no interior; handle by putting corners FIRST at k == 0.
+        if k == 0:
+            new_levels.append(mesh)
+            new_numbering.append(num)
+            perms.append(np.arange(n, dtype=np.int64))
+            layouts.append(
+                LevelLayout(
+                    face_offsets=np.zeros(0, dtype=np.int64),
+                    npf=0,
+                    edge_offsets=np.zeros(0, dtype=np.int64),
+                    npe=0,
+                    corner_cols=num.corners.copy(),
+                )
+            )
+            continue
+
+        # interior first (bulk of the matmul work stays a prefix), then the
+        # interface classes in fixed order
+        marked = np.zeros(n, dtype=bool)
+        for ids in num.faces.interior:
+            marked[ids] = True
+        for ids in num.edges.interior:
+            marked[ids] = True
+        marked[num.corners] = True
+        push(np.flatnonzero(~marked))
+
+        cursor = len(order[0])
+        for ids in num.faces.interior:
+            face_off.append(cursor)
+            push(ids)
+            cursor += len(ids)
+        for ids in num.edges.interior:
+            edge_off.append(cursor)
+            push(ids)
+            cursor += len(ids)
+        corner_cols = np.arange(cursor, cursor + len(num.corners), dtype=np.int64)
+        push(num.corners)
+
+        old_order = np.concatenate(order)
+        perm = np.empty(n, dtype=np.int64)  # old -> new
+        perm[old_order] = np.arange(n)
+
+        new_mesh = Mesh(mesh.nodes[old_order], np.sort(perm[mesh.elements], axis=1))
+        npf = (
+            len(num.faces.interior[0]) if len(num.faces.interior) else 0
+        )
+        npe = len(num.edges.interior[0]) if len(num.edges.interior) else 0
+
+        def permute_cells(cn: CellNumbering) -> CellNumbering:
+            return CellNumbering(
+                [perm[ids] for ids in cn.full],
+                [perm[ids] for ids in cn.interior],
+                cn.params_interior,
+            )
+
+        new_numbering.append(
+            ReferenceNumbering(
+                permute_cells(num.faces),
+                permute_cells(num.edges),
+                perm[num.corners],
+            )
+        )
+        new_levels.append(new_mesh)
+        perms.append(perm)
+        layouts.append(
+            LevelLayout(
+                face_offsets=np.asarray(face_off, dtype=np.int64),
+                npf=npf,
+                edge_offsets=np.asarray(edge_off, dtype=np.int64),
+                npe=npe,
+                corner_cols=corner_cols,
+            )
+        )
+
+    return MultilevelReference(
+        ref.dim, new_levels, new_numbering, ref.midpoint_edges, perms, layouts
+    )

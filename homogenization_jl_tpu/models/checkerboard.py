@@ -217,7 +217,7 @@ def checkerboard_homogenization(
     n_local = plan.n_local(nlevels - 1)
     x = jnp.asarray(rng.random((E, n_local)), dtype=dtype)
     Ld = solver.levels[nlevels - 1]
-    x = combine_interfaces(x, Ld.slot_flat, Ld.slot_group, Ld.n_groups)
+    x = combine_interfaces(x, Ld.slot_flat, Ld.slot_group, solver.n_groups[nlevels - 1])
     x = apply_mask(x, Ld.boundary_mask)
 
     b = jnp.asarray(initial_rhs(plan, sigma_el, xi), dtype=dtype)

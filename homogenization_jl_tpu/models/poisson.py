@@ -58,7 +58,7 @@ def checkerboard_hypercube_multigrid(
     x = jnp.asarray(rng.random(xs[-1].shape), dtype=dtype)
     from ..ops.interfaces import apply_mask, combine_interfaces
 
-    x = combine_interfaces(x, L.slot_flat, L.slot_group, L.n_groups)
+    x = combine_interfaces(x, L.slot_flat, L.slot_group, solver.n_groups[-1])
     x = apply_mask(x, L.boundary_mask)
     xs = (*xs[:-1], x)
     bs = (*bs[:-1], local_unit_rhs(solver))

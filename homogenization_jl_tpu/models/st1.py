@@ -1,0 +1,63 @@
+""""st1" spectral-field elliptic solve (reference: tools/generate_st1_field.jl
+st1_example, :122-136): generate a log-normal-ish conductivity field with
+power-law spectral decay, assemble lam*M + scalar-sigma stiffness, solve with
+zero Dirichlet b.c.
+
+The field generation runs on device (utils/fft_field.py, jnp.fft); the solve
+uses either the implicit-grid multigrid (scalable path) or a host direct
+solve (small demos), exercising the scalar-conductivity code path
+(assemble_st1, tools/generate_st1_field.jl:156-201, takes one sigma per
+element rather than per-axis)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import assemble_operator
+from ..fem.local_operators import load_vector
+from ..mesh.grid import hypercube, interior_nodes
+from ..utils.fft_field import st1_conductivity
+
+
+def conductivity_per_cell(mesh, field: np.ndarray) -> np.ndarray:
+    """sigma_el[e] = field[floor(center_e)] — scalar per element (reference:
+    conductivity_per_cell, tools/generate_st1_field.jl:206-214)."""
+    centers = mesh.nodes[mesh.elements].mean(axis=1)
+    idx = np.clip(np.floor(centers).astype(np.int64), 0, field.shape[0] - 1)
+    return np.asarray(field)[tuple(idx[:, k] for k in range(mesh.dim))]
+
+
+def st1_example(
+    n: int = 32,
+    dim: int = 2,
+    lam: float = 1.0,
+    p: float = 1.5,
+    alpha: float = 3.0,
+    seed: int = 0,
+    save: str | None = None,
+):
+    """Direct solve of (lam - div sigma grad) u = 1 with an st1 field.
+
+    Returns (mesh, u, sigma_el). ``alpha`` defaults lower than the
+    reference's 100 — exp(100 |f|) overflows float unless the field is tiny;
+    pass alpha explicitly to reproduce extreme contrasts.
+    """
+    import scipy.sparse.linalg as spl
+
+    mesh = hypercube(dim, n)
+    field = st1_conductivity(jax.random.PRNGKey(seed), n, dim, p=p, alpha=alpha)
+    sigma_el = conductivity_per_cell(mesh, field)
+
+    A = assemble_operator(mesh, sigma_el, lam)
+    b = load_vector(mesh)
+    ii = interior_nodes(mesh)
+    u = np.zeros(mesh.nnodes)
+    u[ii] = spl.spsolve(A[np.ix_(ii, ii)].tocsc(), b[ii])
+
+    if save:
+        from ..utils.vtk import write_vtu
+
+        write_vtu(save, mesh, point_data={"x": u}, cell_data={"sigma": sigma_el})
+    return mesh, u, sigma_el

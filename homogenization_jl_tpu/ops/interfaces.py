@@ -15,6 +15,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# one-hot selector matmuls must not round values through bf16
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _sel(a, S):
+    return jnp.matmul(a, S, precision=_PRECISION)
+
 
 def combine_interfaces(x, slot_flat, slot_group, n_groups: int):
     """Sum duplicated interface DOFs and write the sum back to every copy.
@@ -73,3 +80,58 @@ def distribute(u, base_elements):
     """Scatter a global base-node vector to the duplicated layout
     (reference: distribute!, src/implicit_fine_grid.jl:178-202)."""
     return u[base_elements]
+
+
+def combine_rowwise_contig(
+    x, row, lay: dict, n_edge_groups: int, n_corner_groups: int
+):
+    """Row-granular combine for the contiguous-interface layout: every class
+    block is a contiguous column window, so gathers and scatters are
+    rectangular [rows, width] windows — no per-scalar descriptors.
+    ``lay`` holds static offsets (mesh/reference.py LevelLayout).
+
+    Every copy of a shared DOF receives the *identical* float value (window
+    .set of the group sum), matching the flat combine's consistency — an
+    add-the-difference formulation would leave copies differing by rounding,
+    which iterative solvers on the consistent subspace amplify.
+    """
+    x0 = x
+    out = x
+    npf = lay["npf"]
+    fo = lay["face_off"]
+    for key in sorted(row["face_pairs"].keys()):
+        l1, l2 = key
+        e1, e2 = row["face_pairs"][key]
+        o1, o2 = fo[l1], fo[l2]
+        v12 = x0[e1, o1 : o1 + npf] + x0[e2, o2 : o2 + npf]
+        out = out.at[e1, o1 : o1 + npf].set(v12, unique_indices=True)
+        out = out.at[e2, o2 : o2 + npf].set(v12, unique_indices=True)
+
+    npe = lay["npe"]
+    eo = lay["edge_off"]
+    if n_edge_groups > 0 and npe > 0:
+        vals, grps = [], []
+        for l, (e_l, g_l) in enumerate(row["edge_occ"]):
+            vals.append(x0[e_l, eo[l] : eo[l] + npe])
+            grps.append(g_l)
+        V = jnp.concatenate(vals, axis=0)
+        g = jnp.concatenate(grps, axis=0)
+        sums = jax.ops.segment_sum(V, g, num_segments=n_edge_groups)
+        for l, (e_l, g_l) in enumerate(row["edge_occ"]):
+            out = out.at[e_l, eo[l] : eo[l] + npe].set(
+                sums[g_l], unique_indices=True
+            )
+
+    cc = lay["corner_cols"]
+    if n_corner_groups > 0:
+        vals, grps = [], []
+        for l, (e_l, g_l) in enumerate(row["corner_occ"]):
+            vals.append(x0[e_l, cc[l]])
+            grps.append(g_l)
+        V = jnp.concatenate(vals)
+        g = jnp.concatenate(grps)
+        sums = jax.ops.segment_sum(V, g, num_segments=n_corner_groups)
+        for l, (e_l, g_l) in enumerate(row["corner_occ"]):
+            out = out.at[e_l, cc[l]].set(sums[g_l], unique_indices=True)
+
+    return out

@@ -31,7 +31,11 @@ import dataclasses
 import numpy as np
 
 from ..mesh.grid import Mesh, TET_EDGES, TET_FACES, TRI_EDGES
-from ..mesh.reference import MultilevelReference, refined_reference
+from ..mesh.reference import (
+    MultilevelReference,
+    refined_reference,
+    with_contiguous_interface_layout,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,8 +57,35 @@ class CombineTable:
 
 
 @dataclasses.dataclass(frozen=True)
+class RowCombineTables:
+    """Row-granular interface-combine tables for one level.
+
+    The flat slot form (CombineTable) is exact but costs one scatter/gather
+    *descriptor per scalar* — measured 30x the cost of the element apply on
+    TPU. This form works on whole element rows instead:
+
+      * faces (3D, exactly 2 owners): for each ordered local-face pair
+        (l1, l2), lists of owner elements; the exchange is
+        x[e1] += (x0[e2] @ S_{l2}) @ S_{l1}^T (and symmetrically), with
+        S_l the static [n_local, npf] one-hot column selector — row gathers,
+        tiny MXU matmuls, row scatter-adds; zero per-scalar descriptors.
+      * edges / corners (2..many owners): per local id, occurrence lists with
+        a group id; group sums via ONE segment_sum over [n_occ, npe] rows.
+    """
+
+    face_pairs: dict  # {(l1, l2): (e1 [F], e2 [F])}
+    face_cols: np.ndarray | None  # [n_local_faces, npf]
+    edge_occ: list  # per local edge id: (elements [O], group [O])
+    edge_cols: np.ndarray | None  # [n_local_edges, npe]
+    n_edge_groups: int
+    corner_occ: list  # per corner id: (elements [O], group [O])
+    n_corner_groups: int
+
+
+@dataclasses.dataclass(frozen=True)
 class LevelPlan:
     combine: CombineTable
+    rowwise: RowCombineTables
     boundary_mask: np.ndarray  # [E, n_local] 1.0 interior / 0.0 boundary
     first_copy_mask: np.ndarray  # [E, n_local] keeps one copy per fine DOF
 
@@ -186,13 +217,20 @@ def _rows_in(rows: np.ndarray, table: np.ndarray) -> np.ndarray:
     return np.isin(keyify(rows), keyify(table))
 
 
-def build_grid_plan(base: Mesh, nlevels: int, dtype=np.float64) -> GridPlan:
+def build_grid_plan(
+    base: Mesh, nlevels: int, dtype=np.float64, contiguous: bool = True
+) -> GridPlan:
     """Build all static tables (reference init path: ImplicitFineGrid ctor,
     src/implicit_fine_grid.jl:13-18 + list_boundary_nodes_edges_faces,
-    src/interface.jl:207-284)."""
+    src/interface.jl:207-284).
+
+    ``contiguous``: renumber reference nodes so interface blocks are
+    contiguous columns (windowed gathers/scatters in the combine)."""
     assert np.all(np.diff(base.elements, axis=1) > 0), "element rows must be sorted"
     dim = base.dim
     ref = refined_reference(dim, nlevels)
+    if contiguous:
+        ref = with_contiguous_interface_layout(ref)
     E = base.nelements
 
     edge_table = TRI_EDGES if dim == 2 else TET_EDGES
@@ -246,6 +284,14 @@ def build_grid_plan(base: Mesh, nlevels: int, dtype=np.float64) -> GridPlan:
         group_offset = 0
         bmask = np.ones((E, n_local), dtype=dtype)
 
+        face_pairs: dict = {}
+        face_cols = None
+        edge_occ: list = []
+        edge_cols = None
+        n_edge_groups = 0
+        corner_occ: list = []
+        n_corner_groups = 0
+
         for name, ltab, lnodes, m in classes:
             tabs = _class_tables(base.elements, ltab, lnodes)
             ie, inode, igroup, ng = tabs["iface"]
@@ -258,6 +304,52 @@ def build_grid_plan(base: Mesh, nlevels: int, dtype=np.float64) -> GridPlan:
             if m > 0 and len(nfe):
                 nonfirst_e.append(nfe)
                 nonfirst_n.append(nfn)
+
+            # ---- row-granular form ------------------------------------
+            order, starts, counts = tabs["order"], tabs["starts"], tabs["counts"]
+            elem_occ, local_occ = tabs["elem"], tabs["local"]
+            shared = counts >= 2
+            sh_starts, sh_counts = starts[shared], counts[shared]
+            if name == "face" and m > 0 and len(sh_starts):
+                assert np.all(sh_counts == 2), "face shared by > 2 elements"
+                o1 = order[sh_starts]
+                o2 = order[sh_starts + 1]
+                e1, l1 = elem_occ[o1], local_occ[o1]
+                e2, l2 = elem_occ[o2], local_occ[o2]
+                for a in range(ltab.shape[0]):
+                    for bb in range(ltab.shape[0]):
+                        sel = (l1 == a) & (l2 == bb)
+                        if sel.any():
+                            face_pairs[(a, bb)] = (
+                                e1[sel].astype(np.int32),
+                                e2[sel].astype(np.int32),
+                            )
+                face_cols = lnodes
+            elif name == "edge" and m > 0 and len(sh_starts):
+                occ = np.concatenate(
+                    [np.arange(s, s + c) for s, c in zip(sh_starts, sh_counts)]
+                )
+                grp = np.repeat(np.arange(len(sh_starts)), sh_counts)
+                eo, lo = elem_occ[order[occ]], local_occ[order[occ]]
+                for l in range(ltab.shape[0]):
+                    sel = lo == l
+                    edge_occ.append(
+                        (eo[sel].astype(np.int32), grp[sel].astype(np.int32))
+                    )
+                edge_cols = lnodes
+                n_edge_groups = len(sh_starts)
+            elif name == "corner" and len(sh_starts):
+                occ = np.concatenate(
+                    [np.arange(s, s + c) for s, c in zip(sh_starts, sh_counts)]
+                )
+                grp = np.repeat(np.arange(len(sh_starts)), sh_counts)
+                eo, lo = elem_occ[order[occ]], local_occ[order[occ]]
+                for l in range(ltab.shape[0]):
+                    sel = lo == l
+                    corner_occ.append(
+                        (eo[sel].astype(np.int32), grp[sel].astype(np.int32))
+                    )
+                n_corner_groups = len(sh_starts)
 
             # Boundary zeroing: all owners of boundary cells of this class.
             if name == "face":
@@ -290,6 +382,15 @@ def build_grid_plan(base: Mesh, nlevels: int, dtype=np.float64) -> GridPlan:
                 np.concatenate(nonfirst_e), np.concatenate(nonfirst_n)
             ] = 0.0
 
-        level_plans.append(LevelPlan(combine, bmask, first_mask))
+        rowwise = RowCombineTables(
+            face_pairs=face_pairs,
+            face_cols=face_cols,
+            edge_occ=edge_occ,
+            edge_cols=edge_cols,
+            n_edge_groups=n_edge_groups,
+            corner_occ=corner_occ,
+            n_corner_groups=n_corner_groups,
+        )
+        level_plans.append(LevelPlan(combine, rowwise, bmask, first_mask))
 
     return GridPlan(base, ref, level_plans, interior_base)

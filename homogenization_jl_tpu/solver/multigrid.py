@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,23 +30,31 @@ import numpy as np
 from ..fem.assembly import assemble_operator
 from ..fem.local_operators import build_level_operators, element_coefficients
 from ..ops.apply import element_apply
-from ..ops.interfaces import apply_mask, combine_interfaces, copy_to_base, distribute
+from ..ops.interfaces import (
+    apply_mask,
+    combine_interfaces,
+    combine_rowwise_contig,
+    copy_to_base,
+    distribute,
+)
 from ..ops.plan import GridPlan
 from ..ops.transfer import prolong_add, restrict
 from ..mesh.reference import prolongation_dense
 
 
-@dataclasses.dataclass(frozen=True)
-class LevelDevice:
-    """Per-level static device data (closure constants of the jitted cycle)."""
+class LevelDevice(NamedTuple):
+    """Per-level device arrays. Passed to the jitted V-cycle as *arguments*
+    (a NamedTuple pytree), not closure constants: baking [E, n_local] masks
+    and index tables into the HLO as literals bloats the serialized program
+    past what remote-compile transports accept, and bloats executables."""
 
     stack: jnp.ndarray  # [P, n, n]
     slot_flat: jnp.ndarray  # [S] flattened slot indices (elem * n_local + node)
     slot_group: jnp.ndarray  # [S]
-    n_groups: int
     boundary_mask: jnp.ndarray  # [E, n]
     first_copy_mask: jnp.ndarray  # [E, n]
     P_up: jnp.ndarray | None  # prolongation to this level from below [n_k, n_{k-1}]
+    row: dict  # row-granular combine tables (ops/plan.py RowCombineTables)
 
 
 class MultigridSolver:
@@ -64,6 +73,7 @@ class MultigridSolver:
         coarse: str = "chol",
         coarse_cg_tol: float = 1e-12,
         coarse_cg_maxiter: int = 500,
+        combine: str = "rowwise",
     ):
         self.plan = plan
         self.dtype = dtype
@@ -73,27 +83,61 @@ class MultigridSolver:
         self.coarse_kind = coarse
         self.coarse_cg_tol = coarse_cg_tol
         self.coarse_cg_maxiter = coarse_cg_maxiter
+        self.combine_kind = combine
 
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
 
         self.levels: list[LevelDevice] = []
+        self.n_groups: list[int] = []
+        self.row_edge_groups: list[int] = []
+        self.row_corner_groups: list[int] = []
+        self.row_layout: list[dict] = []
         for k in range(self.nlevels):
             lp = plan.levels[k]
+            n_local = plan.n_local(k)
             P_up = (
                 jnp.asarray(prolongation_dense(plan.reference, k - 1), dtype=dtype)
                 if k > 0
                 else None
             )
+            self.n_groups.append(lp.combine.n_groups)
+
+            rw = lp.rowwise
+            row = dict(
+                face_pairs={
+                    key: (jnp.asarray(e1), jnp.asarray(e2))
+                    for key, (e1, e2) in rw.face_pairs.items()
+                },
+                edge_occ=[
+                    (jnp.asarray(e), jnp.asarray(g)) for e, g in rw.edge_occ
+                ],
+                corner_occ=[
+                    (jnp.asarray(e), jnp.asarray(g)) for e, g in rw.corner_occ
+                ],
+            )
+            self.row_edge_groups.append(rw.n_edge_groups)
+            self.row_corner_groups.append(rw.n_corner_groups)
+            if plan.reference.layout is not None:
+                lay = plan.reference.layout[k]
+                self.row_layout.append(
+                    dict(
+                        face_off=tuple(int(v) for v in lay.face_offsets),
+                        npf=int(lay.npf),
+                        edge_off=tuple(int(v) for v in lay.edge_offsets),
+                        npe=int(lay.npe),
+                        corner_cols=tuple(int(v) for v in lay.corner_cols),
+                    )
+                )
             self.levels.append(
                 LevelDevice(
                     stack=jnp.asarray(ref_ops[k].stack, dtype=dtype),
-                    slot_flat=jnp.asarray(lp.combine.flat(plan.n_local(k))),
+                    slot_flat=jnp.asarray(lp.combine.flat(n_local)),
                     slot_group=jnp.asarray(lp.combine.slot_group),
-                    n_groups=lp.combine.n_groups,
                     boundary_mask=jnp.asarray(lp.boundary_mask, dtype=dtype),
                     first_copy_mask=jnp.asarray(lp.first_copy_mask, dtype=dtype),
                     P_up=P_up,
+                    row=row,
                 )
             )
 
@@ -103,7 +147,6 @@ class MultigridSolver:
         self._np_dtype = np_dtype
 
         self._vcycle = jax.jit(self._vcycle_impl)
-        self._smooth_fine = jax.jit(partial(self._smooth, k=self.nlevels - 1, steps=smoothing_steps))
 
     # ------------------------------------------------------------------ #
     # coefficient / coarse-operator setup (host precompute per outer step)
@@ -127,20 +170,28 @@ class MultigridSolver:
     # ------------------------------------------------------------------ #
     # device building blocks (traced)
     # ------------------------------------------------------------------ #
-    def _combine(self, x, k):
-        L = self.levels[k]
-        return combine_interfaces(x, L.slot_flat, L.slot_group, L.n_groups)
+    def _combine(self, x, k, Ls=None):
+        L = (Ls or self.levels)[k]
+        if self.combine_kind == "rowwise" and self.row_layout:
+            return combine_rowwise_contig(
+                x,
+                L.row,
+                self.row_layout[k],
+                self.row_edge_groups[k],
+                self.row_corner_groups[k],
+            )
+        return combine_interfaces(x, L.slot_flat, L.slot_group, self.n_groups[k])
 
-    def _constrain(self, x, k):
-        return apply_mask(x, self.levels[k].boundary_mask)
+    def _constrain(self, x, k, Ls=None):
+        return apply_mask(x, (Ls or self.levels)[k].boundary_mask)
 
-    def _apply_op(self, x, coeff, k):
-        return element_apply(x, coeff, self.levels[k].stack)
+    def _apply_op(self, x, coeff, k, Ls=None):
+        return element_apply(x, coeff, (Ls or self.levels)[k].stack)
 
-    def _local_residual(self, x, b, coeff, k):
+    def _local_residual(self, x, b, coeff, k, Ls=None):
         """r = constrain(b - A x) (reference: local_residual!,
         src/apply_local_operators.jl:7-27)."""
-        return self._constrain(b - self._apply_op(x, coeff, k), k)
+        return self._constrain(b - self._apply_op(x, coeff, k, Ls), k, Ls)
 
     @staticmethod
     def _safe_div(num, den):
@@ -149,14 +200,14 @@ class MultigridSolver:
         (the reference would NaN here too, it just never converges exactly)."""
         return jnp.where(den == 0, jnp.zeros_like(num), num / jnp.where(den == 0, 1, den))
 
-    def _smooth(self, x, b, coeff, *, k, steps):
+    def _smooth(self, x, b, coeff, *, k, steps, Ls=None):
         """`steps` CG iterations (reference: smoothing_steps!,
         src/multigrid.jl:46-71). Returns (x, r)."""
-        r = self._combine(self._local_residual(x, b, coeff, k), k)
+        r = self._combine(self._local_residual(x, b, coeff, k, Ls), k, Ls)
         p = r
         rs = jnp.vdot(r, r)
         for _ in range(steps):
-            Ap = self._combine(self._constrain(self._apply_op(p, coeff, k), k), k)
+            Ap = self._combine(self._constrain(self._apply_op(p, coeff, k, Ls), k, Ls), k, Ls)
             alpha = self._safe_div(rs, jnp.vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -165,26 +216,27 @@ class MultigridSolver:
             rs = rs_new
         return x, r
 
-    def _coarse_solve_chol(self, b0, chol):
+    def _coarse_solve_chol(self, b0, chol, base_elements, interior_idx):
         """Direct coarse solve (reference: vcycle! k==1 branch,
         src/multigrid.jl:74-93)."""
-        u = copy_to_base(b0, self.base_elements, self.n_base_nodes)
-        b_int = u[self.interior_idx]
+        u = copy_to_base(b0, base_elements, self.n_base_nodes)
+        b_int = u[interior_idx]
         sol_int = jax.scipy.linalg.cho_solve((chol, True), b_int)
         sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
-        sol = sol.at[self.interior_idx].set(sol_int)
-        return distribute(sol, self.base_elements)
+        sol = sol.at[interior_idx].set(sol_int)
+        return distribute(sol, base_elements)
 
-    def _coarse_solve_cg(self, b0, coeff):
+    def _coarse_solve_cg(self, b0, coeff, Ls=None):
         """Matrix-free coarse solve: CG on the level-0 duplicated layout with
         exact (first-copy weighted) dot products. Scales to large base meshes
         where a dense factorization no longer fits."""
-        w = self.levels[0].first_copy_mask
+        Ls = Ls or self.levels
+        w = Ls[0].first_copy_mask
 
         def dot(a, b):
             return jnp.vdot(a * w, b)
 
-        b = self._constrain(self._combine(b0, 0), 0)
+        b = self._constrain(self._combine(b0, 0, Ls), 0, Ls)
         x = jnp.zeros_like(b)
         r = b
         p = r
@@ -193,7 +245,7 @@ class MultigridSolver:
 
         def body(state):
             x, r, p, rs, i = state
-            Ap = self._combine(self._constrain(self._apply_op(p, coeff, 0), 0), 0)
+            Ap = self._combine(self._constrain(self._apply_op(p, coeff, 0, Ls), 0, Ls), 0, Ls)
             alpha = self._safe_div(rs, dot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -208,12 +260,13 @@ class MultigridSolver:
         x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
         return x
 
-    def _vcycle_impl(self, xs, bs, coeff, chol):
+    def _vcycle_impl(self, xs, bs, coeff, chol, Ls, base_elements, interior_idx):
         """One V-cycle over all levels; returns (xs, r_finest).
 
         `coeff` is a single [E, P] array shared by all levels: the apply
         coefficients depend only on base-element geometry, sigma and lambda
         (the per-level reference stacks differ, the coefficients do not).
+        `Ls` is the tuple of LevelDevice pytrees (arguments, not constants).
         """
         xs = list(xs)
         bs = list(bs)
@@ -222,18 +275,18 @@ class MultigridSolver:
         def descend(k):
             if k == 0:
                 if self.coarse_kind == "chol":
-                    xs[0] = self._coarse_solve_chol(bs[0], chol)
+                    xs[0] = self._coarse_solve_chol(bs[0], chol, base_elements, interior_idx)
                 else:
-                    xs[0] = self._coarse_solve_cg(bs[0], coeff)
+                    xs[0] = self._coarse_solve_cg(bs[0], coeff, Ls)
                 return None
             steps = self.smoothing_steps if k == top else self.coarse_smoothing_steps
-            x, r = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps)
-            r_local = self._local_residual(x, bs[k], coeff, k)
-            bs[k - 1] = restrict(r_local, self.levels[k].P_up)
+            x, r = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls)
+            r_local = self._local_residual(x, bs[k], coeff, k, Ls)
+            bs[k - 1] = restrict(r_local, Ls[k].P_up)
             xs[k - 1] = jnp.zeros_like(xs[k - 1])
             descend(k - 1)
-            x = prolong_add(x, xs[k - 1], self.levels[k].P_up)
-            x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps)
+            x = prolong_add(x, xs[k - 1], Ls[k].P_up)
+            x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
             xs[k] = x
             return r
 
@@ -255,7 +308,9 @@ class MultigridSolver:
         if chol is None:
             assert self.coarse_kind != "chol", "chol factor required"
             chol = jnp.zeros((0, 0), dtype=self.dtype)
-        return self._vcycle(xs, bs, coeff, chol)
+        return self._vcycle(
+            xs, bs, coeff, chol, tuple(self.levels), self.base_elements, self.interior_idx
+        )
 
     def residual_norm(self, r, k=None):
         """Norm with each fine DOF counted once (reference:

@@ -118,10 +118,18 @@ def construct_full_grid(plan, level: int) -> Mesh:
 
 
 def export_solution(filename: str, plan, level: int, x) -> str:
-    """Dump the duplicated-layout solution at `level` on the exploded grid
-    (reference: export_unknown, homogenized_coefficients.jl:81-87)."""
+    """Dump the duplicated-layout solution restricted to `level` on the
+    exploded grid (reference: export_unknown, homogenized_coefficients.jl:
+    81-87, which slices the coarse-prefix DOFs; here the level-in-finest node
+    map handles arbitrary reference numberings)."""
     full = construct_full_grid(plan, level)
-    vals = np.asarray(x)[:, : plan.reference.levels[level].nnodes].reshape(-1)
+    x = np.asarray(x)
+    ref = plan.reference
+    k_x = next(
+        k for k in range(ref.nlevels) if ref.levels[k].nnodes == x.shape[1]
+    )
+    sel = ref.level_in_level(level, k_x)
+    vals = x[:, sel].reshape(-1)
     return write_vtu(filename, full, point_data={"v": vals})
 
 

@@ -105,7 +105,7 @@ def test_initial_rhs_matches_explicit_assembly():
 
     solver = MultigridSolver(plan, coarse="cg")
     L = solver.levels[levels - 1]
-    b0c = combine_interfaces(jnp.asarray(b0), L.slot_flat, L.slot_group, L.n_groups)
+    b0c = combine_interfaces(jnp.asarray(b0), L.slot_flat, L.slot_group, solver.n_groups[levels - 1])
 
     J, shift, _, _ = affine_maps(base)
     refn = plan.reference.levels[levels - 1].nodes

@@ -63,10 +63,10 @@ def test_matrix_free_matches_assembled(dim, n, levels, aniso):
 
     # consistent random x (combine makes duplicates agree)
     x = jnp.asarray(rng.standard_normal((base.nelements, plan.n_local(k))))
-    x = combine_interfaces(x, L.slot_flat, L.slot_group, L.n_groups)
+    x = combine_interfaces(x, L.slot_flat, L.slot_group, solver.n_groups[k])
 
     y = element_apply(x, coeff, L.stack)
-    y = combine_interfaces(y, L.slot_flat, L.slot_group, L.n_groups)
+    y = combine_interfaces(y, L.slot_flat, L.slot_group, solver.n_groups[k])
 
     # explicit path: conductivity of each fine element = its base parent's
     mapping = _coordinate_mapping(plan, k, fine)
