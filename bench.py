@@ -21,6 +21,9 @@ REFERENCE_CPU_DOF_PER_S = 2.0e7
 
 
 def main():
+    # a second concurrent TPU process preallocating HBM crashes the worker
+    os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
+
     from homogenization_jl_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -41,6 +44,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 16))
     nlevels = int(os.environ.get("BENCH_LEVELS", 5))
     cycles = int(os.environ.get("BENCH_CYCLES", 10))
+    precision = os.environ.get("BENCH_PRECISION", "highest")
     dtype = jnp.float32
 
     base = hypercube(dim, n)
@@ -50,7 +54,9 @@ def main():
     plan = build_grid_plan(base, nlevels)
     dofs = plan.base.nelements * plan.n_local(nlevels - 1)
 
-    solver = MultigridSolver(plan, dtype=dtype, coarse="chol")
+    solver = MultigridSolver(
+        plan, dtype=dtype, coarse="chol", apply_precision=precision
+    )
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_cholesky(sigma, 0.0)
     b_ref = load_vector(plan.reference.levels[nlevels - 1])
@@ -109,6 +115,7 @@ def main():
                     "n_local": plan.n_local(nlevels - 1),
                     "levels": nlevels,
                     "dtype": "float32",
+                    "apply_precision": precision,
                     "device": str(jax.devices()[0]),
                     "residual_norm": rn,
                 },

@@ -173,7 +173,14 @@ def unique_edges(mesh_or_elements, nnodes: int | None = None) -> np.ndarray:
         else mesh_or_elements
     )
     e = element_edges(elements)
-    return np.unique(e, axis=0)
+    from ..native import argsort_rows
+
+    order = argsort_rows(e)
+    se = e[order]
+    keep = np.ones(len(se), dtype=bool)
+    if len(se) > 1:
+        keep[1:] = np.any(se[1:] != se[:-1], axis=1)
+    return se[keep]
 
 
 def edge_lookup_key(edges: np.ndarray, nnodes: int) -> np.ndarray:

@@ -20,19 +20,25 @@ import jax
 import jax.numpy as jnp
 
 # f32 on the MXU defaults to bf16 multiplies; CG needs better. f64 is emulated
-# and ignores the flag.
+# and ignores the flag. Measured on a v5e at [24576, 969] x 7 pieces:
+# DEFAULT 4.7ms (rel err 2.4e-3), HIGH 7.7ms (1.0e-5), HIGHEST 13.2ms.
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def element_apply(x: jnp.ndarray, coeff: jnp.ndarray, stack: jnp.ndarray) -> jnp.ndarray:
+def element_apply(
+    x: jnp.ndarray,
+    coeff: jnp.ndarray,
+    stack: jnp.ndarray,
+    precision=_PRECISION,
+) -> jnp.ndarray:
     """y[e] = sum_p coeff[e, p] * (stack[p] @ x[e]).
 
     x: [E, n], coeff: [E, P], stack: [P, n, n] (symmetric slices).
     """
     # Two-stage contraction: P batched matmuls (MXU), then a weighted sum
     # (VPU) that XLA fuses into the matmul epilogue.
-    z = jnp.einsum("pmn,en->epm", stack, x, precision=_PRECISION)
-    return jnp.einsum("ep,epm->em", coeff, z, precision=_PRECISION)
+    z = jnp.einsum("pmn,en->epm", stack, x, precision=precision)
+    return jnp.einsum("ep,epm->em", coeff, z, precision=precision)
 
 
 def mass_apply(x: jnp.ndarray, mass: jnp.ndarray) -> jnp.ndarray:

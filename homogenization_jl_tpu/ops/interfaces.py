@@ -85,53 +85,65 @@ def distribute(u, base_elements):
 def combine_rowwise_contig(
     x, row, lay: dict, n_edge_groups: int, n_corner_groups: int
 ):
-    """Row-granular combine for the contiguous-interface layout: every class
-    block is a contiguous column window, so gathers and scatters are
-    rectangular [rows, width] windows — no per-scalar descriptors.
-    ``lay`` holds static offsets (mesh/reference.py LevelLayout).
+    """Row-granular interface combine for the contiguous layout.
 
-    Every copy of a shared DOF receives the *identical* float value (window
-    .set of the group sum), matching the flat combine's consistency — an
-    add-the-difference formulation would leave copies differing by rounding,
-    which iterative solvers on the consistent subspace amplify.
+    TPU-profiled building blocks only: full-row gathers and full-row
+    scatter-ADDS with unique indices are fast on the hardware; windowed
+    gathers scalarize (~1000x slower) and windowed/row scatter-SETS are an
+    order slower — so values are extracted by slicing gathered rows, and
+    written back by (1) zeroing every interface slot with a static mask and
+    (2) adding zero-padded rows carrying the exact group sums. Every copy of
+    a shared DOF receives the identical float value (required: iterative
+    solvers on the consistent subspace amplify copy drift).
     """
     x0 = x
-    out = x
+    n = x.shape[1]
+    out = x * row["keep_mask"]
+
+    def pad_cols(v, start):
+        F = v.shape[0]
+        return jnp.concatenate(
+            [
+                jnp.zeros((F, start), v.dtype),
+                v,
+                jnp.zeros((F, n - start - v.shape[1]), v.dtype),
+            ],
+            axis=1,
+        )
+
     npf = lay["npf"]
     fo = lay["face_off"]
     for key in sorted(row["face_pairs"].keys()):
         l1, l2 = key
         e1, e2 = row["face_pairs"][key]
         o1, o2 = fo[l1], fo[l2]
-        v12 = x0[e1, o1 : o1 + npf] + x0[e2, o2 : o2 + npf]
-        out = out.at[e1, o1 : o1 + npf].set(v12, unique_indices=True)
-        out = out.at[e2, o2 : o2 + npf].set(v12, unique_indices=True)
+        v12 = x0[e1][:, o1 : o1 + npf] + x0[e2][:, o2 : o2 + npf]
+        out = out.at[e1].add(pad_cols(v12, o1), unique_indices=True)
+        out = out.at[e2].add(pad_cols(v12, o2), unique_indices=True)
 
     npe = lay["npe"]
     eo = lay["edge_off"]
     if n_edge_groups > 0 and npe > 0:
         vals, grps = [], []
         for l, (e_l, g_l) in enumerate(row["edge_occ"]):
-            vals.append(x0[e_l, eo[l] : eo[l] + npe])
+            vals.append(x0[e_l][:, eo[l] : eo[l] + npe])
             grps.append(g_l)
         V = jnp.concatenate(vals, axis=0)
         g = jnp.concatenate(grps, axis=0)
         sums = jax.ops.segment_sum(V, g, num_segments=n_edge_groups)
         for l, (e_l, g_l) in enumerate(row["edge_occ"]):
-            out = out.at[e_l, eo[l] : eo[l] + npe].set(
-                sums[g_l], unique_indices=True
-            )
+            out = out.at[e_l].add(pad_cols(sums[g_l], eo[l]), unique_indices=True)
 
     cc = lay["corner_cols"]
     if n_corner_groups > 0:
         vals, grps = [], []
         for l, (e_l, g_l) in enumerate(row["corner_occ"]):
-            vals.append(x0[e_l, cc[l]])
+            vals.append(x0[e_l][:, cc[l] : cc[l] + 1])
             grps.append(g_l)
-        V = jnp.concatenate(vals)
+        V = jnp.concatenate(vals, axis=0)
         g = jnp.concatenate(grps)
         sums = jax.ops.segment_sum(V, g, num_segments=n_corner_groups)
         for l, (e_l, g_l) in enumerate(row["corner_occ"]):
-            out = out.at[e_l, cc[l]].set(sums[g_l], unique_indices=True)
+            out = out.at[e_l].add(pad_cols(sums[g_l], cc[l]), unique_indices=True)
 
     return out

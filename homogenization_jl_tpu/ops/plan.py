@@ -114,8 +114,11 @@ class GridPlan:
 def _occurrences(rows: np.ndarray):
     """Group identical rows. Returns (occ_order, starts, counts):
     rows[occ_order[starts[g] : starts[g] + counts[g]]] are the occurrences of
-    distinct cell g (cells in lexicographic order)."""
-    order = np.lexsort(rows.T[::-1])
+    distinct cell g (cells in lexicographic order). Uses the native radix
+    argsort (native/hostops.cpp) when rows pack into 64-bit keys."""
+    from ..native import argsort_rows
+
+    order = argsort_rows(rows)
     srows = rows[order]
     new = np.ones(len(srows), dtype=bool)
     if len(srows) > 1:

@@ -74,6 +74,7 @@ class MultigridSolver:
         coarse_cg_tol: float = 1e-12,
         coarse_cg_maxiter: int = 500,
         combine: str = "rowwise",
+        apply_precision=None,
     ):
         self.plan = plan
         self.dtype = dtype
@@ -84,6 +85,11 @@ class MultigridSolver:
         self.coarse_cg_tol = coarse_cg_tol
         self.coarse_cg_maxiter = coarse_cg_maxiter
         self.combine_kind = combine
+        self.apply_precision = (
+            apply_precision
+            if apply_precision is not None
+            else jax.lax.Precision.HIGHEST
+        )
 
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -103,8 +109,11 @@ class MultigridSolver:
             )
             self.n_groups.append(lp.combine.n_groups)
 
+            keep = np.ones((plan.base.nelements, n_local), dtype=np.dtype(jnp.dtype(dtype).name))
+            keep[lp.combine.slot_elem, lp.combine.slot_node] = 0.0
             rw = lp.rowwise
             row = dict(
+                keep_mask=jnp.asarray(keep),
                 face_pairs={
                     key: (jnp.asarray(e1), jnp.asarray(e2))
                     for key, (e1, e2) in rw.face_pairs.items()
@@ -186,7 +195,9 @@ class MultigridSolver:
         return apply_mask(x, (Ls or self.levels)[k].boundary_mask)
 
     def _apply_op(self, x, coeff, k, Ls=None):
-        return element_apply(x, coeff, (Ls or self.levels)[k].stack)
+        return element_apply(
+            x, coeff, (Ls or self.levels)[k].stack, precision=self.apply_precision
+        )
 
     def _local_residual(self, x, b, coeff, k, Ls=None):
         """r = constrain(b - A x) (reference: local_residual!,
