@@ -171,6 +171,9 @@ def checkerboard_homogenization(
     max_cycles: int = 1000,
     verbose: bool = False,
     return_trace: bool = False,
+    save_level: int | None = None,
+    save_prefix: str = "ahom",
+    checkpoint_dir: str | None = None,
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -197,6 +200,11 @@ def checkerboard_homogenization(
     base, node_norms, center_norms = ordered_hypercube(dim, total_radius)
     offset = np.full(dim, float(total_radius))
     sigma_el = conductivity_per_element(base, cond_field, offset)
+
+    if save_level is not None:
+        from ..utils.vtk import export_conductivity
+
+        export_conductivity("checkerboard", base, sigma_el)
 
     nlevels = refinements + 1
     plan = build_grid_plan(base, nlevels)
@@ -276,6 +284,24 @@ def checkerboard_homogenization(
         trace.sigma_steps.append(sigma)
         trace.cycles_per_step.append(cycles)
         trace.residuals.append(float(solver.residual_norm(r)))
+
+        if save_level is not None:
+            from ..utils.vtk import export_solution
+
+            export_solution(f"{save_prefix}_{k}", plan, save_level, x)
+        if checkpoint_dir is not None:
+            import os
+
+            from ..utils.checkpoint import save_step
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_step(
+                os.path.join(checkpoint_dir, f"step_{k}"),
+                k=k, sigma=sigma, lam=lam, box_radius=box_radius,
+                total_radius=total_radius, x=x, b=b,
+                v_prev=v_prev, cond_field=cond_field, xi=xi,
+                n=n, refinements=refinements,
+            )
 
         # ---- shrink the domain (:297-340) --------------------------------
         lam /= 2.0

@@ -88,23 +88,30 @@ def combine_rowwise_contig(
     """Row-granular interface combine for the contiguous layout.
 
     TPU-profiled building blocks only: full-row gathers and full-row
-    scatter-ADDS with unique indices are fast on the hardware; windowed
-    gathers scalarize (~1000x slower) and windowed/row scatter-SETS are an
-    order slower — so values are extracted by slicing gathered rows, and
-    written back by (1) zeroing every interface slot with a static mask and
-    (2) adding zero-padded rows carrying the exact group sums. Every copy of
-    a shared DOF receives the identical float value (required: iterative
-    solvers on the consistent subspace amplify copy drift).
+    scatter-ADDs with unique indices are fast; windowed gathers scalarize
+    (~1000x slower) and scatter-SETs are an order slower. Values are
+    extracted by slicing gathered rows; write-back is (1) zero every
+    interface slot with a static mask, (2) add zero-padded rows carrying the
+    exact group sums — every copy of a shared DOF receives the identical
+    float value (iterative solvers amplify copy drift otherwise).
+
+    All writes run on the *interface column block* ``[iface_start:]`` only
+    (layout: [interior | faces | edges | corners]), then the untouched
+    interior block is concatenated back — measured 2-10x less scatter
+    traffic than full-width rows (edge/corner payloads are 1-15 columns).
     """
-    x0 = x
+    i0 = lay["iface_start"]
     n = x.shape[1]
-    out = x * row["keep_mask"]
+    W = n - i0
+    x0 = x
+    head = x[:, :i0]
+    tail = x[:, i0:] * row["keep_tail"]
 
     def pad_cols(v, start):
         F = v.shape[0]
         return jnp.concatenate(
             [
-                jnp.zeros((F, start), v.dtype),
+                jnp.zeros((F, start - i0), v.dtype),
                 v,
                 jnp.zeros((F, n - start - v.shape[1]), v.dtype),
             ],
@@ -118,8 +125,8 @@ def combine_rowwise_contig(
         e1, e2 = row["face_pairs"][key]
         o1, o2 = fo[l1], fo[l2]
         v12 = x0[e1][:, o1 : o1 + npf] + x0[e2][:, o2 : o2 + npf]
-        out = out.at[e1].add(pad_cols(v12, o1), unique_indices=True)
-        out = out.at[e2].add(pad_cols(v12, o2), unique_indices=True)
+        tail = tail.at[e1].add(pad_cols(v12, o1), unique_indices=True)
+        tail = tail.at[e2].add(pad_cols(v12, o2), unique_indices=True)
 
     npe = lay["npe"]
     eo = lay["edge_off"]
@@ -132,7 +139,7 @@ def combine_rowwise_contig(
         g = jnp.concatenate(grps, axis=0)
         sums = jax.ops.segment_sum(V, g, num_segments=n_edge_groups)
         for l, (e_l, g_l) in enumerate(row["edge_occ"]):
-            out = out.at[e_l].add(pad_cols(sums[g_l], eo[l]), unique_indices=True)
+            tail = tail.at[e_l].add(pad_cols(sums[g_l], eo[l]), unique_indices=True)
 
     cc = lay["corner_cols"]
     if n_corner_groups > 0:
@@ -144,6 +151,47 @@ def combine_rowwise_contig(
         g = jnp.concatenate(grps)
         sums = jax.ops.segment_sum(V, g, num_segments=n_corner_groups)
         for l, (e_l, g_l) in enumerate(row["corner_occ"]):
-            out = out.at[e_l].add(pad_cols(sums[g_l], cc[l]), unique_indices=True)
+            tail = tail.at[e_l].add(pad_cols(sums[g_l], cc[l]), unique_indices=True)
 
-    return out
+    if i0 == 0:
+        return tail
+    return jnp.concatenate([head, tail], axis=1)
+
+
+def combine_gather(x, gt: dict, lay: dict):
+    """Fully gather-based interface combine (zero scatters).
+
+    Two passes of row gathers (TPU scatters cost ~17x more per row):
+      1. per class, per-cell group sums via a masked M-way sum over owner
+         rows (window chosen by the owner's local id with a static select);
+      2. each element's class blocks rebuilt as sums[gmap[:, l]] and
+         concatenated in layout order [interior | faces | edges | corners].
+    Copies of a shared DOF all read the same sums row -> bitwise identical.
+    Single-owner cells reproduce their own value (mask sum), so boundary
+    cells pass through unchanged.
+    """
+    i0 = lay["iface_start"]
+    parts = [x[:, :i0]] if i0 > 0 else []
+
+    def class_blocks(tables, offsets, width):
+        oe, ol, om, gmap = tables
+        G, M = oe.shape
+        L = len(offsets)
+        acc = jnp.zeros((G, width), x.dtype)
+        for j in range(M):
+            rows = x[oe[:, j]]  # [G, n] row gather
+            sel = jnp.zeros((G, width), x.dtype)
+            for l in range(L):
+                w = rows[:, offsets[l] : offsets[l] + width]
+                sel = sel + jnp.where((ol[:, j] == l)[:, None], w, 0)
+            acc = acc + om[:, j : j + 1] * sel
+        return [acc[gmap[:, l]] for l in range(L)]
+
+    if gt.get("face") is not None:
+        parts += class_blocks(gt["face"], lay["face_off"], lay["npf"])
+    if gt.get("edge") is not None and lay["npe"] > 0:
+        parts += class_blocks(gt["edge"], lay["edge_off"], lay["npe"])
+    if gt.get("corner") is not None:
+        parts += class_blocks(gt["corner"], lay["corner_cols"], 1)
+
+    return jnp.concatenate(parts, axis=1)

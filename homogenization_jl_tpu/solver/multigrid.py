@@ -32,6 +32,7 @@ from ..fem.local_operators import build_level_operators, element_coefficients
 from ..ops.apply import element_apply
 from ..ops.interfaces import (
     apply_mask,
+    combine_gather,
     combine_interfaces,
     combine_rowwise_contig,
     copy_to_base,
@@ -73,7 +74,7 @@ class MultigridSolver:
         coarse: str = "chol",
         coarse_cg_tol: float = 1e-12,
         coarse_cg_maxiter: int = 500,
-        combine: str = "rowwise",
+        combine: str = "gather",
         apply_precision=None,
     ):
         self.plan = plan
@@ -111,9 +112,36 @@ class MultigridSolver:
 
             keep = np.ones((plan.base.nelements, n_local), dtype=np.dtype(jnp.dtype(dtype).name))
             keep[lp.combine.slot_elem, lp.combine.slot_node] = 0.0
+            if plan.reference.layout is not None:
+                _lay = plan.reference.layout[k]
+                i0 = int(
+                    min(
+                        list(_lay.face_offsets)
+                        + list(_lay.edge_offsets)
+                        + list(_lay.corner_cols)
+                    )
+                )
+            else:
+                i0 = 0
+            def dev_gt(t):
+                if t is None:
+                    return None
+                oe, ol, om, gmap = t
+                return (
+                    jnp.asarray(oe),
+                    jnp.asarray(ol),
+                    jnp.asarray(om, dtype=dtype),
+                    jnp.asarray(gmap),
+                )
+
             rw = lp.rowwise
             row = dict(
-                keep_mask=jnp.asarray(keep),
+                keep_tail=jnp.asarray(keep[:, i0:]),
+                gather=dict(
+                    face=dev_gt(lp.gather.face),
+                    edge=dev_gt(lp.gather.edge),
+                    corner=dev_gt(lp.gather.corner),
+                ),
                 face_pairs={
                     key: (jnp.asarray(e1), jnp.asarray(e2))
                     for key, (e1, e2) in rw.face_pairs.items()
@@ -129,6 +157,9 @@ class MultigridSolver:
             self.row_corner_groups.append(rw.n_corner_groups)
             if plan.reference.layout is not None:
                 lay = plan.reference.layout[k]
+                candidates = (
+                    list(lay.face_offsets) + list(lay.edge_offsets) + list(lay.corner_cols)
+                )
                 self.row_layout.append(
                     dict(
                         face_off=tuple(int(v) for v in lay.face_offsets),
@@ -136,6 +167,7 @@ class MultigridSolver:
                         edge_off=tuple(int(v) for v in lay.edge_offsets),
                         npe=int(lay.npe),
                         corner_cols=tuple(int(v) for v in lay.corner_cols),
+                        iface_start=int(min(candidates)),
                     )
                 )
             self.levels.append(
@@ -181,6 +213,8 @@ class MultigridSolver:
     # ------------------------------------------------------------------ #
     def _combine(self, x, k, Ls=None):
         L = (Ls or self.levels)[k]
+        if self.combine_kind == "gather" and self.row_layout:
+            return combine_gather(x, L.row["gather"], self.row_layout[k])
         if self.combine_kind == "rowwise" and self.row_layout:
             return combine_rowwise_contig(
                 x,

@@ -66,3 +66,28 @@ def test_vcycle_idempotent_on_solution():
     """Once converged, extra V-cycles keep the residual at the floor."""
     history, _, _ = checkerboard_hypercube_multigrid(2, dim=2, refinements=2, max_cycles=40)
     assert history[-1] < 1e-11
+
+
+def test_baseline_config1_2d_poisson_to_1e8():
+    """BASELINE.json config 1: 2D Poisson, unit-square Tri base, 2 implicit
+    refinements, GMG V-cycles to |r| <= 1e-8."""
+    import jax.numpy as jnp
+    from homogenization_jl_tpu.models.poisson import local_unit_rhs
+    from homogenization_jl_tpu.ops.interfaces import apply_mask
+
+    base = hypercube(2, 8, scale=1.0 / 8.0)  # unit square
+    sigma = np.ones((base.nelements, 2))
+    plan = build_grid_plan(base, 3)
+    solver = MultigridSolver(plan)
+    coeff = solver.coefficients(sigma, 0.0)
+    chol = solver.coarse_cholesky(sigma, 0.0)
+    xs, bs = solver.zero_states()
+    bs = (*bs[:-1], local_unit_rhs(solver))
+    history = []
+    for _ in range(40):
+        xs, r = solver.vcycle(xs, bs, coeff, chol)
+        history.append(float(solver.residual_norm(r)))
+        if history[-1] <= 1e-8:
+            break
+    assert history[-1] <= 1e-8, history[-5:]
+    assert len(history) <= 30, f"too many cycles: {len(history)}"
