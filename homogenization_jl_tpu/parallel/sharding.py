@@ -125,6 +125,57 @@ def build_sharded_tables(
     )
 
 
+def build_sharded_gather_tables(plan: GridPlan, level: int, n_shards: int, E_pad: int):
+    """Per-shard gather-combine tables (see ops/plan.py GatherCombineTables).
+
+    Each shard keeps every cell its block touches, with owner lists masked to
+    in-shard owners only — local cells get complete sums, cross-shard cells
+    partial ones; the flat cross-group psum fix-up (ShardedLevelTables)
+    overwrites the partials with globally summed values afterwards. All
+    arrays are padded to common shapes with a leading [n_shards] axis.
+    Returns {class: (oe [S,Gmax,M], ol, om, gmap [S,B,L])} with class absent
+    when the level has no such DOFs.
+    """
+    B = E_pad // n_shards
+    E = plan.base.nelements
+    gt = plan.levels[level].gather
+    out = {}
+    for name in ("face", "edge", "corner"):
+        tabs = getattr(gt, name)
+        if tabs is None:
+            continue
+        o_elem, o_local, o_mask, gmap = tabs
+        L = gmap.shape[1]
+        M = o_elem.shape[1]
+        gmap_pad = np.zeros((E_pad, L), dtype=np.int64)
+        gmap_pad[:E] = gmap
+        per_shard = []
+        Gmax = 0
+        for s_i in range(n_shards):
+            lo, hi = s_i * B, (s_i + 1) * B
+            glist = np.unique(gmap_pad[lo:hi].ravel())
+            Gmax = max(Gmax, len(glist))
+            lgmap = np.searchsorted(glist, gmap_pad[lo:hi])
+            oe = o_elem[glist].astype(np.int64)
+            om = o_mask[glist].copy()
+            in_shard = (oe >= lo) & (oe < hi)
+            om = om * in_shard
+            oe = np.where(in_shard, oe - lo, 0)
+            per_shard.append((oe, o_local[glist], om, lgmap))
+        OE = np.zeros((n_shards, Gmax, M), dtype=np.int32)
+        OL = np.zeros((n_shards, Gmax, M), dtype=np.int32)
+        OM = np.zeros((n_shards, Gmax, M), dtype=np.float64)
+        GM = np.zeros((n_shards, B, L), dtype=np.int32)
+        for s_i, (oe, ol, om, lgmap) in enumerate(per_shard):
+            g = oe.shape[0]
+            OE[s_i, :g] = oe
+            OL[s_i, :g] = ol
+            OM[s_i, :g] = om
+            GM[s_i] = lgmap
+        out[name] = (OE, OL, OM, GM)
+    return out
+
+
 def _pad_elems(a: np.ndarray, E_pad: int, fill=0.0):
     pad = E_pad - a.shape[0]
     if pad == 0:
@@ -182,12 +233,25 @@ class ShardedMultigridSolver:
         def dev(a, spec):
             return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
 
+        valid = np.zeros(self.E_pad)
+        valid[:E] = 1.0
+        self.valid_mask = dev(valid, P(AXIS))
+        self.row_layout = inner.row_layout
+
         self.levels = []
         for k in range(self.nlevels):
             lp = plan.levels[k]
             tabs = build_sharded_tables(plan, k, S, self.E_pad)
+            gtabs = build_sharded_gather_tables(plan, k, S, self.E_pad)
+            gdev = {
+                name: tuple(
+                    dev(a, P(AXIS, *([None] * (a.ndim - 1)))) for a in arrs
+                )
+                for name, arrs in gtabs.items()
+            }
             self.levels.append(
                 dict(
+                    gather=gdev,
                     stack=dev(inner.levels[k].stack, P()),
                     boundary_mask=dev(
                         _pad_elems(lp.boundary_mask, self.E_pad), P(AXIS, None)
@@ -243,29 +307,36 @@ class ShardedMultigridSolver:
         return jax.device_put(jnp.asarray(x_np), self.sharding)
 
     # -- traced building blocks (run inside shard_map on local blocks) ---- #
-    def _combine(self, x, L):
-        """Two-stage interface combine; x is the local [E_loc, n] block, the
-        table rows for this shard arrive as [1, ...] slices."""
-        shape = x.shape
+    def _combine(self, x, L, k, valid):
+        """Intra-shard gather combine + cross-shard psum fix-up.
+
+        x: local [B, n] block; gather tables arrive as [1, ...] slices. The
+        gather pass rebuilds all interface blocks from in-shard owner sums
+        (cross cells get partial sums); the flat cross-group pass then
+        overwrites cross slots with globally psum-med sums — O(surface)
+        scatter only.
+        """
+        from ..ops.interfaces import combine_gather
+
+        gt = {name: tuple(a[0] for a in arrs) for name, arrs in L["gather"].items()}
+        for name in ("face", "edge", "corner"):
+            gt.setdefault(name, None)
+        out = combine_gather(x, gt, self.row_layout[k])
+        out = out * valid[:, None]
+
+        shape = out.shape
+        outf = out.reshape(-1)
         xf = x.reshape(-1)
-        lg = L["loc_gather"][0]
-        ls = L["loc_scatter"][0]
-        lgr = L["loc_group"][0]
-        if lg.shape[0] > 0:
-            sums = jax.ops.segment_sum(xf[lg], lgr, num_segments=L["n_loc_groups"])
-            xf = xf.at[ls].set(sums[lgr], mode="drop", unique_indices=True)
         cg = L["cross_gather"][0]
         cs = L["cross_scatter"][0]
         cgr = L["cross_group"][0]
         if L["n_cross_groups"] > 1:
-            # padded slots contribute to the trash segment; gather idx 0 is
-            # harmless because its value lands in trash too
-            valid = cs < xf.shape[0]
-            vals = jnp.where(valid, xf[cg], 0)
+            ok = cs < xf.shape[0]
+            vals = jnp.where(ok, xf[cg], 0)
             partial = jax.ops.segment_sum(vals, cgr, num_segments=L["n_cross_groups"])
             total = jax.lax.psum(partial, AXIS)
-            xf = xf.at[cs].set(total[cgr], mode="drop", unique_indices=True)
-        return xf.reshape(shape)
+            outf = outf.at[cs].set(total[cgr], mode="drop", unique_indices=True)
+        return outf.reshape(shape)
 
     def _apply_op(self, x, coeff, L):
         from ..ops.apply import element_apply
@@ -275,14 +346,14 @@ class ShardedMultigridSolver:
     def _dot(self, a, b):
         return jax.lax.psum(jnp.vdot(a, b), AXIS)
 
-    def _smooth(self, x, b, coeff, L, steps):
+    def _smooth(self, x, b, coeff, L, k, valid, steps):
         bm = L["boundary_mask"]
-        r = self._combine((b - self._apply_op(x, coeff, L)) * bm, L)
+        r = self._combine((b - self._apply_op(x, coeff, L)) * bm, L, k, valid)
         p = r
         rs = self._dot(r, r)
         safe = MultigridSolver._safe_div
         for _ in range(steps):
-            Ap = self._combine(self._apply_op(p, coeff, L) * bm, L)
+            Ap = self._combine(self._apply_op(p, coeff, L) * bm, L, k, valid)
             alpha = safe(rs, self._dot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -301,14 +372,14 @@ class ShardedMultigridSolver:
         sol = sol.at[self.interior_idx].set(sol_int)
         return sol[elements]
 
-    def _coarse_cg(self, b0, coeff, L):
+    def _coarse_cg(self, b0, coeff, L, valid):
         w = L["first_copy_mask"]
         bm = L["boundary_mask"]
 
         def dot(a, b):
             return jax.lax.psum(jnp.vdot(a * w, b), AXIS)
 
-        b = self._combine(b0, L) * bm
+        b = self._combine(b0, L, 0, valid) * bm
         x = jnp.zeros_like(b)
         r = b
         p = r
@@ -318,7 +389,7 @@ class ShardedMultigridSolver:
 
         def body(state):
             x, r, p, rs, i = state
-            Ap = self._combine(self._apply_op(p, coeff, L) * bm, L)
+            Ap = self._combine(self._apply_op(p, coeff, L) * bm, L, 0, valid)
             alpha = safe(rs, dot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -339,6 +410,7 @@ class ShardedMultigridSolver:
         levels = self.levels
         top = self.nlevels - 1
         in_level_specs = dict(
+            gather=None,  # handled specially below (nested dict of arrays)
             stack=P(),
             boundary_mask=P(AXIS, None),
             first_copy_mask=P(AXIS, None),
@@ -352,18 +424,27 @@ class ShardedMultigridSolver:
         )
 
         def level_args(k):
-            return {
+            out = {
                 key: levels[k][key]
                 for key in in_level_specs
-                if levels[k][key] is not None
+                if key != "gather" and levels[k][key] is not None
             }
+            out["gather"] = levels[k]["gather"]
+            return out
 
         def level_specs(k):
-            return {
+            out = {
                 key: in_level_specs[key]
                 for key in in_level_specs
-                if levels[k][key] is not None
+                if key != "gather" and levels[k][key] is not None
             }
+            out["gather"] = {
+                name: tuple(
+                    P(AXIS, *([None] * (a.ndim - 1))) for a in arrs
+                )
+                for name, arrs in levels[k]["gather"].items()
+            }
+            return out
 
         statics = [
             dict(
@@ -373,7 +454,7 @@ class ShardedMultigridSolver:
             for k in range(self.nlevels)
         ]
 
-        def body(xs, bs, coeff, chol, elements, *level_arrays):
+        def body(xs, bs, coeff, chol, elements, valid, *level_arrays):
             Ls = [dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)]
             xs = list(xs)
             bs = list(bs)
@@ -383,12 +464,12 @@ class ShardedMultigridSolver:
                     if self.coarse_kind == "chol":
                         xs[0] = self._coarse_chol(bs[0], chol, elements)
                     else:
-                        xs[0] = self._coarse_cg(bs[0], coeff, Ls[0])
+                        xs[0] = self._coarse_cg(bs[0], coeff, Ls[0], valid)
                     return None
                 steps = (
                     self.smoothing_steps if k == top else self.coarse_smoothing_steps
                 )
-                x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], steps)
+                x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], k, valid, steps)
                 r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
                     "boundary_mask"
                 ]
@@ -396,7 +477,7 @@ class ShardedMultigridSolver:
                 xs[k - 1] = jnp.zeros_like(xs[k - 1])
                 descend(k - 1)
                 x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
-                x, r = self._smooth(x, bs[k], coeff, Ls[k], steps)
+                x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps)
                 xs[k] = x
                 return r
 
@@ -410,6 +491,7 @@ class ShardedMultigridSolver:
             P(AXIS, None),  # coeff
             P(),  # chol
             P(AXIS, None),  # elements
+            P(AXIS),  # valid element mask
             *[level_specs(k) for k in range(self.nlevels)],
         )
         out_specs = (state_spec, P(AXIS, None))
@@ -429,6 +511,7 @@ class ShardedMultigridSolver:
                 coeff,
                 chol,
                 self.base_elements,
+                self.valid_mask,
                 *[level_args(k) for k in range(self.nlevels)],
             )
 
