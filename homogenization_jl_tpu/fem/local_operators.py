@@ -71,17 +71,24 @@ def mass_matrix(mesh: Mesh, dtype=np.float64) -> np.ndarray:
     return M
 
 
-def load_vector(mesh: Mesh, dtype=np.float64) -> np.ndarray:
-    """b[i] = int phi_i over `mesh` (reference: assemble_vector(mesh, identity),
-    src/assembly.jl:121-154)."""
+def load_vector(mesh: Mesh, func=None, dtype=np.float64) -> np.ndarray:
+    """b[i] = int func(phi_i) over `mesh` (reference: assemble_vector,
+    src/assembly.jl:121-154; func defaults to the identity, giving the unit
+    load int phi_i)."""
     d = mesh.dim
     pts, w = quad_rule(d, dtype)
     phi = basis_values(pts)
+    if func is not None:
+        phi = func(phi)
     _, _, detJ, _ = affine_maps(mesh)
     b_loc = detJ[:, None] * (w @ phi)[None]
     b = np.zeros(mesh.nnodes, dtype=dtype)
     np.add.at(b, mesh.elements, b_loc)
     return b
+
+
+# alias matching the reference's name (src/assembly.jl:121)
+assemble_vector = load_vector
 
 
 def partial_derivative_functionals(mesh: Mesh, dtype=np.float64) -> np.ndarray:

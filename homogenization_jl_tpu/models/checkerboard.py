@@ -174,12 +174,16 @@ def checkerboard_homogenization(
     save_level: int | None = None,
     save_prefix: str = "ahom",
     checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
 ):
     """Estimate the correction sigma for one sampled domain.
 
     ``cond_field``: optional pinned conductivity field (fixture) of shape
     [2R]^dim + [dim] with R = compute_box_radius(0, n) +
     compute_boundary_layer(1, n); if None it is sampled with ``seed``.
+    ``resume_from``: path to a ``checkpoint_dir`` step file; the run resumes
+    after the saved outer step (the reference has no checkpointing —
+    SURVEY.md §5 — this is the recovery story for multi-hour runs).
     """
     lam = 1.0
     sigma = 0.0
@@ -197,8 +201,30 @@ def checkerboard_homogenization(
     else:
         assert cond_field.shape == (2 * total_radius,) * dim + (dim,)
 
+    resume_state = None
+    if resume_from is not None:
+        from ..utils.checkpoint import load_step
+
+        resume_state = load_step(resume_from)
+        assert resume_state["n"] == n and resume_state["refinements"] == refinements
+        cond_field = resume_state["cond_field"]
+        xi = resume_state["xi"]
+
+    offset = np.full(dim, float(total_radius))  # field indexing uses R0
     base, node_norms, center_norms = ordered_hypercube(dim, total_radius)
-    offset = np.full(dim, float(total_radius))
+
+    if resume_state is not None:
+        # slice the ordered mesh down to the checkpointed (pre-shrink) domain
+        sigma = resume_state["sigma"]
+        lam = resume_state["lam"]
+        box_radius = resume_state["box_radius"]
+        total_radius = resume_state["total_radius"]
+        n_nodes = prefix_in_radius(node_norms, total_radius, eps=1e-12)
+        n_elems = prefix_in_radius(center_norms, total_radius)
+        base = Mesh(base.nodes[:n_nodes], base.elements[:n_elems])
+        node_norms = node_norms[:n_nodes]
+        center_norms = center_norms[:n_elems]
+
     sigma_el = conductivity_per_element(base, cond_field, offset)
 
     if save_level is not None:
@@ -231,77 +257,93 @@ def checkerboard_homogenization(
     b = jnp.asarray(initial_rhs(plan, sigma_el, xi), dtype=dtype)
     v_prev = None
 
+    start_k = 0
+    skip_first_solve = False
+    if resume_state is not None:
+        x = jnp.asarray(resume_state["x"], dtype=dtype)
+        b = jnp.asarray(resume_state["b"], dtype=dtype)
+        v_prev = (
+            jnp.asarray(resume_state["v_prev"], dtype=dtype)
+            if resume_state["v_prev"] is not None
+            else None
+        )
+        start_k = resume_state["k"]
+        skip_first_solve = True  # step start_k already solved; run its shrink
+
     trace = HomogenizationTrace(0.0, [], [], [])
 
-    for k in range(n + 1):
-        if verbose:
+    for k in range(start_k, n + 1):
+        if skip_first_solve and k == start_k:
+            pass  # fall through to the shrink tail only
+        elif verbose:
             print(
                 f"[step {k}] domain [-{total_radius},{total_radius}]^{dim} "
                 f"box={box_radius} layer={boundary_layer} E={base.nelements} "
                 f"unknowns<= {plan.max_unknowns}"
             )
 
-        coeff = solver.coefficients(sigma_el, lam)
-        chol = (
-            solver.coarse_cholesky(sigma_el, lam)
-            if solver.coarse_kind == "chol"
-            else None
-        )
-
-        xs, bs = solver.zero_states()
-        xs = (*xs[:-1], x)
-        bs = (*bs[:-1], b)
-
-        n_box = prefix_in_radius(center_norms, box_radius)
-        mask = jnp.asarray(
-            (np.arange(base.nelements) < n_box).astype(np.float64), dtype=dtype
-        )
-        domain_area = float(area_fn(mask))
-
-        d_sigma = 0.0
-        d_sigma_prev = 0.0
-        cycles = 0
-        for i in range(max_cycles):
-            xs, r = solver.vcycle(xs, bs, coeff, chol)
-            cycles += 1
-            if k == 0:
-                integral = float(first_fn(xs[-1], b, mask))
-            else:
-                integral = float(terms_fn(xs[-1], v_prev, mask))
-            d_sigma = 2.0**k * integral / domain_area
-            if verbose:
-                rn = float(solver.residual_norm(r))
-                print(
-                    f"  cycle {i + 1}: |r|={rn:.3e} sigma+ds={sigma + d_sigma:.10f} "
-                    f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e}"
-                )
-            if abs(d_sigma - d_sigma_prev) < tolerance:
-                break
-            d_sigma_prev = d_sigma
-
-        x = xs[-1]
-        sigma += d_sigma
-        trace.sigma_steps.append(sigma)
-        trace.cycles_per_step.append(cycles)
-        trace.residuals.append(float(solver.residual_norm(r)))
-
-        if save_level is not None:
-            from ..utils.vtk import export_solution
-
-            export_solution(f"{save_prefix}_{k}", plan, save_level, x)
-        if checkpoint_dir is not None:
-            import os
-
-            from ..utils.checkpoint import save_step
-
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            save_step(
-                os.path.join(checkpoint_dir, f"step_{k}"),
-                k=k, sigma=sigma, lam=lam, box_radius=box_radius,
-                total_radius=total_radius, x=x, b=b,
-                v_prev=v_prev, cond_field=cond_field, xi=xi,
-                n=n, refinements=refinements,
+        if not (skip_first_solve and k == start_k):
+            coeff = solver.coefficients(sigma_el, lam)
+            chol = (
+                solver.coarse_cholesky(sigma_el, lam)
+                if solver.coarse_kind == "chol"
+                else None
             )
+
+            xs, bs = solver.zero_states()
+            xs = (*xs[:-1], x)
+            bs = (*bs[:-1], b)
+
+            n_box = prefix_in_radius(center_norms, box_radius)
+            mask = jnp.asarray(
+                (np.arange(base.nelements) < n_box).astype(np.float64), dtype=dtype
+            )
+            domain_area = float(area_fn(mask))
+
+            d_sigma = 0.0
+            d_sigma_prev = 0.0
+            cycles = 0
+            for i in range(max_cycles):
+                xs, r = solver.vcycle(xs, bs, coeff, chol)
+                cycles += 1
+                if k == 0:
+                    integral = float(first_fn(xs[-1], b, mask))
+                else:
+                    integral = float(terms_fn(xs[-1], v_prev, mask))
+                d_sigma = 2.0**k * integral / domain_area
+                if verbose:
+                    rn = float(solver.residual_norm(r))
+                    print(
+                        f"  cycle {i + 1}: |r|={rn:.3e} sigma+ds={sigma + d_sigma:.10f} "
+                        f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e}"
+                    )
+                if abs(d_sigma - d_sigma_prev) < tolerance:
+                    break
+                d_sigma_prev = d_sigma
+
+            x = xs[-1]
+            sigma += d_sigma
+            trace.sigma_steps.append(sigma)
+            trace.cycles_per_step.append(cycles)
+            trace.residuals.append(float(solver.residual_norm(r)))
+
+            if save_level is not None:
+                from ..utils.vtk import export_solution
+
+                export_solution(f"{save_prefix}_{k}", plan, save_level, x)
+            if checkpoint_dir is not None:
+                import os
+
+                from ..utils.checkpoint import save_step
+
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                save_step(
+                    os.path.join(checkpoint_dir, f"step_{k}"),
+                    k=k, sigma=sigma, lam=lam, box_radius=box_radius,
+                    total_radius=total_radius, x=x, b=b,
+                    v_prev=v_prev, cond_field=cond_field, xi=xi,
+                    n=n, refinements=refinements,
+                )
 
         # ---- shrink the domain (:297-340) --------------------------------
         lam /= 2.0
@@ -343,3 +385,27 @@ def checkerboard_homogenization(
     if return_trace:
         return sigma, trace
     return sigma
+
+
+def compare_refinements_on_same_material(
+    n: int = 2,
+    dim: int = 2,
+    refinements=(1, 2, 3),
+    tolerance: float = 1e-4,
+    seed: int = 0,
+    **kwargs,
+):
+    """Run the recurrence on the SAME sampled conductivity field at several
+    refinement levels (reference: compare_refinements_on_same_material,
+    homogenized_coefficients.jl:574-583 — stale there; here it works because
+    conductivity fields are explicit fixtures). Returns {refinements: sigma}."""
+    lam0_radius = compute_box_radius(0, n) + compute_boundary_layer(1.0, n)
+    rng = np.random.default_rng(seed)
+    field = generate_conductivity(dim, 2 * lam0_radius, rng)
+    return {
+        r: checkerboard_homogenization(
+            n, dim=dim, refinements=r, tolerance=tolerance,
+            cond_field=field, seed=seed, **kwargs,
+        )
+        for r in refinements
+    }

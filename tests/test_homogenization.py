@@ -223,3 +223,13 @@ def rhs_subset(mesh, keep, sigma_fine, xi):
     b = np.zeros(mesh.nnodes)
     np.add.at(b, mesh.elements, -np.einsum("t,td,tdm->tm", w, sigma_fine * xi, G))
     return b
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Resuming from a step-0 checkpoint reproduces the uninterrupted run."""
+    kwargs = dict(dim=2, refinements=1, tolerance=1e-4, seed=21)
+    full = checkerboard_homogenization(2, checkpoint_dir=str(tmp_path), **kwargs)
+    resumed = checkerboard_homogenization(
+        2, resume_from=str(tmp_path / "step_0.npz"), **kwargs
+    )
+    assert resumed == full
