@@ -54,11 +54,14 @@ def main():
     plan = build_grid_plan(base, nlevels)
     dofs = plan.base.nelements * plan.n_local(nlevels - 1)
 
+    # dense coarse factor only while it stays small (29791^2 f32 = 3.5 GB);
+    # otherwise the matrix-free level-0 CG coarse solve
+    coarse = "chol" if len(plan.interior_base_nodes) <= 8000 else "cg"
     solver = MultigridSolver(
-        plan, dtype=dtype, coarse="chol", apply_precision=precision
+        plan, dtype=dtype, coarse=coarse, apply_precision=precision
     )
     coeff = solver.coefficients(sigma, 0.0)
-    chol = solver.coarse_cholesky(sigma, 0.0)
+    chol = solver.coarse_cholesky(sigma, 0.0) if coarse == "chol" else None
     b_ref = load_vector(plan.reference.levels[nlevels - 1])
     _, _, detJ, _ = affine_maps(base)
     b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
@@ -84,6 +87,11 @@ def main():
         xs, r = jax.lax.fori_loop(0, n, body, (xs, jnp.zeros_like(xs[-1])))
         rr = r * Ls[-1].first_copy_mask
         return xs, jnp.sqrt(jnp.vdot(rr, rr))
+
+    if chol is None:
+        import jax.numpy as _jnp
+
+        chol = _jnp.zeros((0, 0), dtype=dtype)
 
     def timed(n):
         t0 = time.perf_counter()
@@ -114,6 +122,7 @@ def main():
                     "base_elements": plan.base.nelements,
                     "n_local": plan.n_local(nlevels - 1),
                     "levels": nlevels,
+                    "coarse": coarse,
                     "dtype": "float32",
                     "apply_precision": precision,
                     "device": str(jax.devices()[0]),

@@ -34,11 +34,17 @@ def element_apply(
     """y[e] = sum_p coeff[e, p] * (stack[p] @ x[e]).
 
     x: [E, n], coeff: [E, P], stack: [P, n, n] (symmetric slices).
+
+    Accumulates over the P pieces instead of materializing the [E, P, n]
+    einsum intermediate (P+2 times the state size in HBM — the single
+    largest allocation at large E; this form keeps temps at O(E n)).
     """
-    # Two-stage contraction: P batched matmuls (MXU), then a weighted sum
-    # (VPU) that XLA fuses into the matmul epilogue.
-    z = jnp.einsum("pmn,en->epm", stack, x, precision=precision)
-    return jnp.einsum("ep,epm->em", coeff, z, precision=precision)
+    P = stack.shape[0]
+    y = jnp.zeros_like(x)
+    for p in range(P):
+        z = jnp.matmul(x, stack[p].T, precision=precision)
+        y = y + coeff[:, p : p + 1] * z
+    return y
 
 
 def mass_apply(x: jnp.ndarray, mass: jnp.ndarray) -> jnp.ndarray:

@@ -174,15 +174,20 @@ def combine_gather(x, gt: dict, lay: dict):
     parts = [x[:, :i0]] if i0 > 0 else []
 
     def class_blocks(tables, offsets, width):
+        # pre-slice the class super-block so gathers move only this class's
+        # columns (corners: 4-wide rows instead of n_local-wide — 100x+ less
+        # gather traffic and temp memory)
         oe, ol, om, gmap = tables
         G, M = oe.shape
         L = len(offsets)
+        c0 = min(offsets)
+        xc = x[:, c0 : max(offsets) + width]  # static slice
         acc = jnp.zeros((G, width), x.dtype)
         for j in range(M):
-            rows = x[oe[:, j]]  # [G, n] row gather
+            rows = xc[oe[:, j]]  # [G, L*width] row gather
             sel = jnp.zeros((G, width), x.dtype)
             for l in range(L):
-                w = rows[:, offsets[l] : offsets[l] + width]
+                w = rows[:, offsets[l] - c0 : offsets[l] - c0 + width]
                 sel = sel + jnp.where((ol[:, j] == l)[:, None], w, 0)
             acc = acc + om[:, j : j + 1] * sel
         return [acc[gmap[:, l]] for l in range(L)]
