@@ -58,7 +58,12 @@ def main():
     # otherwise the matrix-free level-0 CG coarse solve
     coarse = "chol" if len(plan.interior_base_nodes) <= 8000 else "cg"
     solver = MultigridSolver(
-        plan, dtype=dtype, coarse=coarse, apply_precision=precision
+        plan,
+        dtype=dtype,
+        coarse=coarse,
+        apply_precision=precision,
+        coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
+        coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
     )
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_cholesky(sigma, 0.0) if coarse == "chol" else None
