@@ -76,6 +76,8 @@ class MultigridSolver:
         coarse_cg_maxiter: int = 500,
         combine: str = "gather",
         apply_precision=None,
+        smoother: str = "cg",
+        cheb_ratio: float = 30.0,
     ):
         self.plan = plan
         self.dtype = dtype
@@ -86,6 +88,8 @@ class MultigridSolver:
         self.coarse_cg_tol = coarse_cg_tol
         self.coarse_cg_maxiter = coarse_cg_maxiter
         self.combine_kind = combine
+        self.smoother = smoother
+        self.cheb_ratio = cheb_ratio
         self.apply_precision = (
             apply_precision
             if apply_precision is not None
@@ -245,7 +249,83 @@ class MultigridSolver:
         (the reference would NaN here too, it just never converges exactly)."""
         return jnp.where(den == 0, jnp.zeros_like(num), num / jnp.where(den == 0, 1, den))
 
-    def _smooth(self, x, b, coeff, *, k, steps, Ls=None):
+    def diagonal(self, coeff, k, Ls=None):
+        """Assembled diagonal of the implicit operator on the duplicated
+        layout: diag[e, i] = sum_p coeff[e, p] stack[p][i, i], interface-
+        combined (each copy gets the full assembled diagonal entry)."""
+        L = (Ls or self.levels)[k]
+        d_ref = jnp.diagonal(L.stack, axis1=1, axis2=2)  # [P, n]
+        d = jnp.einsum("ep,pn->en", coeff, d_ref)
+        return self._combine(d, k, Ls)
+
+    def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
+        """Power iteration for the largest eigenvalue of D^{-1} A on the
+        constrained, interface-consistent subspace (host helper, one call
+        per coefficient update — like coarse_cholesky)."""
+        k = self.nlevels - 1 if k is None else k
+        d = self.diagonal(coeff, k)
+        dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        w = self.levels[k].first_copy_mask
+        rng = np.random.default_rng(seed)
+        v = jnp.asarray(
+            rng.standard_normal((self.plan.base.nelements, self.plan.n_local(k))),
+            dtype=self.dtype,
+        )
+        v = self._constrain(self._combine(v, k), k)
+
+        @jax.jit
+        def step(v):
+            Av = self._combine(self._constrain(self._apply_op(v, coeff, k), k), k)
+            y = dinv * Av
+            lam = jnp.vdot(v * w, y) / jnp.vdot(v * w, v)
+            nrm = jnp.sqrt(jnp.vdot(y * w, y))
+            return y / jnp.where(nrm == 0, 1.0, nrm), lam
+
+        lam = 0.0
+        for _ in range(iters):
+            v, lam = step(v)
+        return float(lam) * 1.15  # safety margin (underestimating lam_max
+        # lets the highest modes amplify and stalls the V-cycle)
+
+    def _smooth_chebyshev(self, x, b, coeff, lam_max, *, k, steps, Ls=None):
+        """Jacobi-preconditioned Chebyshev smoother: no dot products at all
+        (no cross-chip reductions, and none of the CG smoother's
+        duplicated-DOF dot inexactness). Classic three-term recurrence on
+        D^{-1}A over [lam_max/ratio, lam_max]. Returns (x, r)."""
+        L = (Ls or self.levels)[k]
+        d = self.diagonal(coeff, k, Ls)
+        dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        lam_min = lam_max / self.cheb_ratio
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+
+        def residual(x):
+            return self._combine(self._local_residual(x, b, coeff, k, Ls), k, Ls)
+
+        r = residual(x)
+        z = dinv * r
+        p = (1.0 / theta) * z
+        x = x + p
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(steps - 1):
+            r = residual(x)
+            z = dinv * r
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta) * z
+            x = x + p
+            rho = rho_new
+        r = residual(x)
+        return x, r
+
+    def _smooth(self, x, b, coeff, *, k, steps, Ls=None, lam_max=None):
+        if self.smoother == "chebyshev":
+            return self._smooth_chebyshev(
+                x, b, coeff, lam_max, k=k, steps=steps, Ls=Ls
+            )
+        return self._smooth_cg(x, b, coeff, k=k, steps=steps, Ls=Ls)
+
+    def _smooth_cg(self, x, b, coeff, *, k, steps, Ls=None):
         """`steps` CG iterations (reference: smoothing_steps!,
         src/multigrid.jl:46-71). Returns (x, r)."""
         r = self._combine(self._local_residual(x, b, coeff, k, Ls), k, Ls)
@@ -305,7 +385,7 @@ class MultigridSolver:
         x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
         return x
 
-    def _vcycle_impl(self, xs, bs, coeff, chol, Ls, base_elements, interior_idx):
+    def _vcycle_impl(self, xs, bs, coeff, chol, Ls, base_elements, interior_idx, lam_max=None):
         """One V-cycle over all levels; returns (xs, r_finest).
 
         `coeff` is a single [E, P] array shared by all levels: the apply
@@ -325,13 +405,13 @@ class MultigridSolver:
                     xs[0] = self._coarse_solve_cg(bs[0], coeff, Ls)
                 return None
             steps = self.smoothing_steps if k == top else self.coarse_smoothing_steps
-            x, r = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls)
+            x, r = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
             r_local = self._local_residual(x, bs[k], coeff, k, Ls)
             bs[k - 1] = restrict(r_local, Ls[k].P_up)
             xs[k - 1] = jnp.zeros_like(xs[k - 1])
             descend(k - 1)
             x = prolong_add(x, xs[k - 1], Ls[k].P_up)
-            x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
+            x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
             xs[k] = x
             return r
 
@@ -349,12 +429,21 @@ class MultigridSolver:
         )
         return xs, xs
 
-    def vcycle(self, xs, bs, coeff, chol=None):
+    def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
         if chol is None:
             assert self.coarse_kind != "chol", "chol factor required"
             chol = jnp.zeros((0, 0), dtype=self.dtype)
+        if self.smoother == "chebyshev":
+            assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         return self._vcycle(
-            xs, bs, coeff, chol, tuple(self.levels), self.base_elements, self.interior_idx
+            xs,
+            bs,
+            coeff,
+            chol,
+            tuple(self.levels),
+            self.base_elements,
+            self.interior_idx,
+            lam_max,
         )
 
     def residual_norm(self, r, k=None):

@@ -1,0 +1,93 @@
+"""Chebyshev smoother (the dot-product-free alternative named in the
+BASELINE north star): V-cycles must contract and converge to the same
+solution as the CG-smoothed cycle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from homogenization_jl_tpu.fem.local_operators import load_vector
+from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
+from homogenization_jl_tpu.models.checkerboard import (
+    conductivity_per_element,
+    generate_conductivity,
+)
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+
+def _setup(dim, n, levels, seed=3):
+    base = hypercube(dim, n)
+    rng = np.random.default_rng(seed)
+    sigma = conductivity_per_element(base, generate_conductivity(dim, n, rng), np.zeros(dim))
+    plan = build_grid_plan(base, levels)
+    b_ref = load_vector(plan.reference.levels[levels - 1])
+    _, _, detJ, _ = affine_maps(base)
+    return plan, sigma, jnp.asarray(detJ[:, None] * b_ref[None, :])
+
+
+@pytest.mark.parametrize("dim,n,levels", [(2, 4, 3), (3, 2, 3)])
+def test_chebyshev_vcycle_contracts(dim, n, levels):
+    plan, sigma, b = _setup(dim, n, levels)
+    s = MultigridSolver(plan, smoother="chebyshev", smoothing_steps=3)
+    coeff = s.coefficients(sigma, 0.0)
+    chol = s.coarse_cholesky(sigma, 0.0)
+    lam_max = s.estimate_lambda_max(coeff)
+    assert 0.5 < lam_max < 10.0  # D^{-1}A spectrum is O(1)
+
+    xs, bs = s.zero_states()
+    bs = (*bs[:-1], b)
+    hist = []
+    for _ in range(12):
+        xs, r = s.vcycle(xs, bs, coeff, chol, lam_max=lam_max)
+        hist.append(float(s.residual_norm(r)))
+    assert hist[-1] < 1e-4 * hist[0], hist
+
+    # same solution as the CG-smoothed solver
+    s2 = MultigridSolver(plan, smoother="cg", smoothing_steps=3)
+    xs2, bs2 = s2.zero_states()
+    bs2 = (*bs2[:-1], b)
+    for _ in range(30):
+        xs2, r2 = s2.vcycle(xs2, bs2, coeff, chol)
+    for _ in range(18):
+        xs, r = s.vcycle(xs, bs, coeff, chol, lam_max=lam_max)
+    err = float(jnp.abs(xs[-1] - xs2[-1]).max())
+    scale = float(jnp.abs(xs2[-1]).max())
+    assert err < 1e-7 * max(scale, 1.0), (err, scale)
+
+
+def test_diagonal_matches_assembled(dim=2, n=3, levels=3):
+    """The duplicated-layout diagonal equals the assembled global diagonal."""
+    import scipy.sparse as sp
+
+    from homogenization_jl_tpu.fem.assembly import assemble_operator
+    from homogenization_jl_tpu.mesh.refine import refine_uniformly
+
+    plan, sigma, _ = _setup(dim, n, levels)
+    s = MultigridSolver(plan)
+    coeff = s.coefficients(sigma, 0.4)
+    d = np.asarray(s.diagonal(coeff, levels - 1))
+
+    fine = refine_uniformly(plan.base, times=levels - 1)
+    children = fine.nelements // plan.base.nelements
+    sigma_fine = np.repeat(sigma, children, axis=0)
+    A = assemble_operator(fine, sigma_fine, 0.4)
+    dg = A.diagonal()
+
+    # map through exact coordinates
+    J, shift, _, _ = affine_maps(plan.base)
+    refn = plan.reference.levels[levels - 1].nodes
+    allx = (np.einsum("eij,nj->eni", J, refn) + shift[:, None, :]).reshape(-1, dim)
+
+    def key(a):
+        return (
+            np.ascontiguousarray(np.round(a * 2**20).astype(np.int64))
+            .view([("", np.int64)] * dim)
+            .ravel()
+        )
+
+    fk = key(fine.nodes)
+    order = np.argsort(fk)
+    mapping = order[np.searchsorted(fk[order], key(allx))]
+    err = np.abs(dg[mapping] - d.reshape(-1)).max()
+    assert err < 1e-12
