@@ -87,3 +87,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert state["k"] == 1 and state["sigma"] == 1.23 and state["lam"] == 0.5
     assert np.array_equal(state["x"], x)
     assert state["v_prev"] is None
+
+
+def test_st1_example_end_to_end(tmp_path):
+    """st1 spectral-field solve (reference: st1_example,
+    tools/generate_st1_field.jl:122-136)."""
+    from homogenization_jl_tpu.models.st1 import st1_example
+
+    mesh, u, sigma_el = st1_example(n=8, dim=2, lam=1.0, alpha=2.0, seed=1,
+                                    save=str(tmp_path / "st1"))
+    assert np.isfinite(u).all() and np.abs(u).max() > 0
+    assert sigma_el.shape == (mesh.nelements,)
+    assert (sigma_el >= 1.0).all()
+    assert os.path.exists(tmp_path / "st1.vtu")
+
+
+def test_multishift_demo_matches_per_shift_cg():
+    from homogenization_jl_tpu.models.multishift import multishift_demo
+
+    worst, res = multishift_demo(dim=2, n=3, levels=2, n_shifts=3, iters=120)
+    assert worst < 1e-6, worst
+    assert (res < 1e-6).all()
