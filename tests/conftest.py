@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The env var alone can be overridden by the host's axon TPU plugin at
+# import; the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from homogenization_jl_tpu.utils.cache import enable_compilation_cache
