@@ -225,6 +225,111 @@ def rhs_subset(mesh, keep, sigma_fine, xi):
     return b
 
 
+def _coord_key(a, dim):
+    return (
+        np.ascontiguousarray(np.round(a * 2**20).astype(np.int64))
+        .view([("", np.int64)] * dim)
+        .ravel()
+    )
+
+
+def test_homogenization_k1_against_direct_solve(monkeypatch):
+    """Two-step recurrence oracle: v1 computed by a direct sparse solve of
+    (lam/2 M + A) v1 = lam/2 M v0 on the explicitly refined shrunken mesh
+    must reproduce the driver's Delta-sigma_1 (integrate_terms + next_rhs +
+    the prefix-shrink chain, reference homogenized_coefficients.jl:634-713).
+
+    The reference schedule constants only allow a k=1 step for n >= 5 (a
+    25k-element domain); the oracle is about the recurrence algebra, not the
+    schedule, so the boundary layer is monkeypatched smaller to make a tiny
+    two-step run."""
+    import homogenization_jl_tpu.models.checkerboard as cb
+    from homogenization_jl_tpu.mesh.grid import Mesh
+    from homogenization_jl_tpu.fem.quadrature import simplex_measure
+
+    def small_layer(lam, n):
+        return int(np.floor((n + 1) * lam**-0.5))
+
+    monkeypatch.setattr(cb, "compute_boundary_layer", small_layer)
+
+    dim, n_exp, refinements = 2, 2, 1
+    sig, trace = cb.checkerboard_homogenization(
+        n_exp,
+        dim=dim,
+        refinements=refinements,
+        tolerance=1e-11,
+        seed=13,
+        max_cycles=400,
+        return_trace=True,
+    )
+    assert len(trace.sigma_steps) >= 2, "schedule did not reach a k=1 step"
+
+    # ---- step 0: direct solve on the full domain --------------------------
+    lam = 1.0
+    box0 = cb.compute_box_radius(0, n_exp)
+    R0 = box0 + small_layer(lam, n_exp)
+    base, node_norms, center_norms = cb.ordered_hypercube(dim, R0)
+    rng = np.random.default_rng(13)
+    field = cb.generate_conductivity(dim, 2 * R0, rng)
+    sigma_el = cb.conductivity_per_element(base, field, np.full(dim, float(R0)))
+    xi = np.ones(dim) / np.sqrt(dim)
+
+    fine = refine_uniformly(base, times=refinements)
+    children = fine.nelements // base.nelements
+    sigma_fine = np.repeat(sigma_el, children, axis=0)
+    A = assemble_operator(fine, sigma_fine, lam)
+    keep_all = np.ones(fine.nelements, dtype=bool)
+    b = rhs_subset(fine, keep_all, sigma_fine, xi)
+    ii = interior_nodes(fine)
+    v0 = np.zeros(fine.nnodes)
+    v0[ii] = spl.spsolve(A[np.ix_(ii, ii)].tocsc(), b[ii])
+
+    # ---- shrink to the k=1 domain (prefix slices) -------------------------
+    lam = 0.5
+    box1 = cb.compute_box_radius(1, n_exp)
+    R1 = box1 + small_layer(lam, n_exp)
+    assert R1 <= R0
+    n_nodes = cb.prefix_in_radius(node_norms, R1, eps=1e-12)
+    n_elems = cb.prefix_in_radius(center_norms, R1)
+    base1 = Mesh(base.nodes[:n_nodes], base.elements[:n_elems])
+    sigma_fine1 = np.repeat(sigma_el[:n_elems], children, axis=0)
+    fine1 = refine_uniformly(base1, times=refinements)
+
+    # v_prev: v0 restricted to the shrunken fine mesh (coordinate match),
+    # zeroed on the new boundary (driver: slice + apply_mask)
+    fk = _coord_key(fine.nodes, dim)
+    order = np.argsort(fk)
+    mapping = order[np.searchsorted(fk[order], _coord_key(fine1.nodes, dim))]
+    v_prev = v0[mapping]
+    ii1 = interior_nodes(fine1)
+    interior_mask = np.zeros(fine1.nnodes)
+    interior_mask[ii1] = 1.0
+    v_prev = v_prev * interior_mask
+
+    # ---- step 1: b1 = lam M v_prev; solve (lam M + A) v1 = b1 -------------
+    M1 = mass_matrix_subset(fine1, np.ones(fine1.nelements, dtype=bool))
+    b1 = lam * (M1 @ v_prev)
+    A1 = assemble_operator(fine1, sigma_fine1, lam)
+    v1 = np.zeros(fine1.nnodes)
+    v1[ii1] = spl.spsolve(A1[np.ix_(ii1, ii1)].tocsc(), b1[ii1])
+
+    # ---- Delta-sigma_1 = 2^1 int_box (v1 + v_prev) M v1 / area ------------
+    n_box = cb.prefix_in_radius(center_norms[:n_elems], box1)
+    keep = np.zeros(base1.nelements, dtype=bool)
+    keep[:n_box] = True
+    keep_fine = np.repeat(keep, children)
+    Mbox = mass_matrix_subset(fine1, keep_fine)
+    _, _, detJ1, _ = affine_maps(fine1)
+    area = float(np.sum(detJ1[keep_fine]) * simplex_measure(dim))
+    dsigma1_direct = 2.0 * ((v1 + v_prev) @ (Mbox @ v1)) / area
+
+    dsigma1_driver = trace.sigma_steps[1] - trace.sigma_steps[0]
+    assert abs(dsigma1_driver - dsigma1_direct) < 1e-6, (
+        dsigma1_driver,
+        dsigma1_direct,
+    )
+
+
 def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     """Resuming from a step-0 checkpoint reproduces the uninterrupted run."""
     kwargs = dict(dim=2, refinements=1, tolerance=1e-4, seed=21)
