@@ -55,8 +55,12 @@ def main():
     dofs = plan.base.nelements * plan.n_local(nlevels - 1)
 
     # dense coarse factor only while it stays small (29791^2 f32 = 3.5 GB);
-    # otherwise the matrix-free level-0 CG coarse solve
-    coarse = "chol" if len(plan.interior_base_nodes) <= 8000 else "cg"
+    # otherwise base-mesh coarsening: aux-hierarchy-preconditioned CG on the
+    # exact level-0 operator (solver/coarse.py)
+    coarse = os.environ.get(
+        "BENCH_COARSE",
+        "chol" if len(plan.interior_base_nodes) <= 8000 else "mg",
+    )
     solver = MultigridSolver(
         plan,
         dtype=dtype,
@@ -64,9 +68,10 @@ def main():
         apply_precision=precision,
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
+        coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 1e-6)),
     )
     coeff = solver.coefficients(sigma, 0.0)
-    chol = solver.coarse_cholesky(sigma, 0.0) if coarse == "chol" else None
+    chol = solver.coarse_setup(sigma, 0.0)
     b_ref = load_vector(plan.reference.levels[nlevels - 1])
     _, _, detJ, _ = affine_maps(base)
     b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
@@ -92,11 +97,6 @@ def main():
         xs, r = jax.lax.fori_loop(0, n, body, (xs, jnp.zeros_like(xs[-1])))
         rr = r * Ls[-1].first_copy_mask
         return xs, jnp.sqrt(jnp.vdot(rr, rr))
-
-    if chol is None:
-        import jax.numpy as _jnp
-
-        chol = _jnp.zeros((0, 0), dtype=dtype)
 
     def timed(n):
         t0 = time.perf_counter()

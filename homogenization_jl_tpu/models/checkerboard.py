@@ -26,7 +26,6 @@ import numpy as np
 
 from ..fem.local_operators import partial_derivative_functionals
 from ..mesh.grid import Mesh, affine_maps, hypercube
-from ..ops.interfaces import apply_mask, combine_interfaces
 from ..ops.plan import build_grid_plan
 from ..solver.multigrid import MultigridSolver
 
@@ -107,6 +106,52 @@ def initial_rhs(plan, sigma_el: np.ndarray, xi: np.ndarray, dtype=np.float64) ->
     return (f @ P.T).T.astype(dtype)  # [E, n_local]
 
 
+def consistent_random(plan, k: int, rng) -> np.ndarray:
+    """Random [E, n_local] state, interface-consistent and zero on the
+    boundary (reference: rand! + broadcast_interfaces! + apply_constraint!,
+    homogenized_coefficients.jl:246-248). Host-side NumPy so it is identical
+    for the single-device and the sharded driver."""
+    E = plan.base.nelements
+    n = plan.n_local(k)
+    x = rng.random((E, n))
+    t = plan.levels[k].combine
+    if t.n_groups:
+        flat = t.flat(n)
+        xf = x.reshape(-1)
+        sums = np.zeros(t.n_groups)
+        np.add.at(sums, t.slot_group, xf[flat])
+        xf[flat] = sums[t.slot_group]
+        x = xf.reshape(E, n)
+    return x * plan.levels[k].boundary_mask
+
+
+def _make_solver(plan, device_mesh, dtype, smoothing_steps, coarse, coarse_dense_limit, smoother):
+    """Solver factory: single-device MultigridSolver or, given a 1D device
+    mesh, the element-axis ShardedMultigridSolver (reference parallelism:
+    threads over base elements, src/apply_local_operators.jl:40-46)."""
+    kind = coarse
+    if kind == "mg":
+        from ..solver.coarse import coarsening_depth
+
+        if coarsening_depth(plan.base, 4000) == 0:
+            # shrunken prefix domains are not coarsenable boxes — fall back
+            # to the reference-style direct solve (or matrix-free CG)
+            kind = "chol"
+    if kind == "chol" and len(plan.interior_base_nodes) > coarse_dense_limit:
+        kind = "cg"
+    if device_mesh is None:
+        return MultigridSolver(
+            plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=kind,
+            smoother=smoother,
+        )
+    from ..parallel.sharding import ShardedMultigridSolver
+
+    return ShardedMultigridSolver(
+        plan, device_mesh, dtype=dtype, smoothing_steps=smoothing_steps,
+        coarse=kind, smoother=smoother,
+    )
+
+
 def _integrals_fns(mass: jnp.ndarray, detJ: jnp.ndarray):
     """Jitted integral kernels closed over the finest reference mass matrix
     and the per-element |det J| (homogenized_coefficients.jl:592-713)."""
@@ -175,6 +220,8 @@ def checkerboard_homogenization(
     save_prefix: str = "ahom",
     checkpoint_dir: str | None = None,
     resume_from: str | None = None,
+    device_mesh=None,
+    smoother: str = "cg",
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -184,6 +231,10 @@ def checkerboard_homogenization(
     ``resume_from``: path to a ``checkpoint_dir`` step file; the run resumes
     after the saved outer step (the reference has no checkpointing —
     SURVEY.md §5 — this is the recovery story for multi-hour runs).
+    ``device_mesh``: optional 1D ``jax.sharding.Mesh`` (axis "e"): the whole
+    inner loop — V-cycles, integrals, next rhs — runs element-axis sharded
+    through ShardedMultigridSolver and produces the same sigma.
+    ``smoother``: "cg" (reference parity) or "chebyshev" (dot-free).
     """
     lam = 1.0
     sigma = 0.0
@@ -235,35 +286,37 @@ def checkerboard_homogenization(
     nlevels = refinements + 1
     plan = build_grid_plan(base, nlevels)
 
-    solver = MultigridSolver(
-        plan,
-        dtype=dtype,
-        smoothing_steps=smoothing_steps,
-        coarse=coarse if len(plan.interior_base_nodes) <= coarse_dense_limit else "cg",
-    )
-    mass = solver.levels[nlevels - 1].stack[-1]
-    _, _, detJ_np, _ = affine_maps(base)
-    detJ = jnp.asarray(detJ_np, dtype=dtype)
-    area_fn, first_fn, terms_fn, next_rhs_fn = _integrals_fns(mass, detJ)
+    def make_solver(plan):
+        solver = _make_solver(
+            plan, device_mesh, dtype, smoothing_steps, coarse,
+            coarse_dense_limit, smoother,
+        )
+        to_dev = (
+            solver.put
+            if device_mesh is not None
+            else (lambda a: jnp.asarray(a, dtype=dtype))
+        )
+        L = solver.levels[nlevels - 1]
+        mass = (L["stack"] if isinstance(L, dict) else L.stack)[-1]
+        _, _, detJ_np, _ = affine_maps(plan.base)
+        fns = _integrals_fns(mass, to_dev(detJ_np))
+        return solver, to_dev, fns
+
+    solver, to_dev, (area_fn, first_fn, terms_fn, next_rhs_fn) = make_solver(plan)
 
     # random consistent x with zero boundary values (:246-248)
     E = base.nelements
-    n_local = plan.n_local(nlevels - 1)
-    x = jnp.asarray(rng.random((E, n_local)), dtype=dtype)
-    Ld = solver.levels[nlevels - 1]
-    x = combine_interfaces(x, Ld.slot_flat, Ld.slot_group, solver.n_groups[nlevels - 1])
-    x = apply_mask(x, Ld.boundary_mask)
-
-    b = jnp.asarray(initial_rhs(plan, sigma_el, xi), dtype=dtype)
+    x = to_dev(consistent_random(plan, nlevels - 1, rng))
+    b = to_dev(initial_rhs(plan, sigma_el, xi))
     v_prev = None
 
     start_k = 0
     skip_first_solve = False
     if resume_state is not None:
-        x = jnp.asarray(resume_state["x"], dtype=dtype)
-        b = jnp.asarray(resume_state["b"], dtype=dtype)
+        x = to_dev(resume_state["x"])
+        b = to_dev(resume_state["b"])
         v_prev = (
-            jnp.asarray(resume_state["v_prev"], dtype=dtype)
+            to_dev(resume_state["v_prev"])
             if resume_state["v_prev"] is not None
             else None
         )
@@ -284,9 +337,10 @@ def checkerboard_homogenization(
 
         if not (skip_first_solve and k == start_k):
             coeff = solver.coefficients(sigma_el, lam)
-            chol = (
-                solver.coarse_cholesky(sigma_el, lam)
-                if solver.coarse_kind == "chol"
+            setup = solver.coarse_setup(sigma_el, lam)
+            lam_max = (
+                solver.estimate_lambda_max(coeff)
+                if smoother == "chebyshev"
                 else None
             )
 
@@ -295,16 +349,14 @@ def checkerboard_homogenization(
             bs = (*bs[:-1], b)
 
             n_box = prefix_in_radius(center_norms, box_radius)
-            mask = jnp.asarray(
-                (np.arange(base.nelements) < n_box).astype(np.float64), dtype=dtype
-            )
+            mask = to_dev((np.arange(base.nelements) < n_box).astype(np.float64))
             domain_area = float(area_fn(mask))
 
             d_sigma = 0.0
             d_sigma_prev = 0.0
             cycles = 0
             for i in range(max_cycles):
-                xs, r = solver.vcycle(xs, bs, coeff, chol)
+                xs, r = solver.vcycle(xs, bs, coeff, setup, lam_max=lam_max)
                 cycles += 1
                 if k == 0:
                     integral = float(first_fn(xs[-1], b, mask))
@@ -330,18 +382,26 @@ def checkerboard_homogenization(
             if save_level is not None:
                 from ..utils.vtk import export_solution
 
-                export_solution(f"{save_prefix}_{k}", plan, save_level, x)
+                export_solution(
+                    f"{save_prefix}_{k}", plan, save_level,
+                    np.asarray(x)[: base.nelements],
+                )
             if checkpoint_dir is not None:
                 import os
 
                 from ..utils.checkpoint import save_step
 
                 os.makedirs(checkpoint_dir, exist_ok=True)
+                E_cur = base.nelements  # strip sharding pad before saving
                 save_step(
                     os.path.join(checkpoint_dir, f"step_{k}"),
                     k=k, sigma=sigma, lam=lam, box_radius=box_radius,
-                    total_radius=total_radius, x=x, b=b,
-                    v_prev=v_prev, cond_field=cond_field, xi=xi,
+                    total_radius=total_radius, x=np.asarray(x)[:E_cur],
+                    b=np.asarray(b)[:E_cur],
+                    v_prev=np.asarray(v_prev)[:E_cur]
+                    if v_prev is not None
+                    else None,
+                    cond_field=cond_field, xi=xi,
                     n=n, refinements=refinements,
                 )
 
@@ -361,23 +421,13 @@ def checkerboard_homogenization(
         sigma_el = sigma_el[:n_elems]
 
         plan = build_grid_plan(base, nlevels)
-        solver = MultigridSolver(
-            plan,
-            dtype=dtype,
-            smoothing_steps=smoothing_steps,
-            coarse=coarse
-            if len(plan.interior_base_nodes) <= coarse_dense_limit
-            else "cg",
-        )
-        mass = solver.levels[nlevels - 1].stack[-1]
-        _, _, detJ_np, _ = affine_maps(base)
-        detJ = jnp.asarray(detJ_np, dtype=dtype)
-        area_fn, first_fn, terms_fn, next_rhs_fn = _integrals_fns(mass, detJ)
+        solver, to_dev, (area_fn, first_fn, terms_fn, next_rhs_fn) = make_solver(plan)
 
         # slice state, re-apply the (new) boundary condition
-        x = x[:n_elems]
-        Ld = solver.levels[nlevels - 1]
-        x = apply_mask(x, Ld.boundary_mask)
+        x_host = np.asarray(x)[:n_elems] * np.asarray(
+            plan.levels[nlevels - 1].boundary_mask
+        )
+        x = to_dev(x_host)
         v_prev = x
         b = next_rhs_fn(x, lam)
 

@@ -205,6 +205,13 @@ class ShardedMultigridSolver:
         coarse: str = "chol",
         coarse_cg_tol: float = 1e-10,
         coarse_cg_maxiter: int = 200,
+        smoother: str = "cg",
+        cheb_ratio: float = 30.0,
+        coarse_mg_tol: float = 1e-8,
+        coarse_mg_maxiter: int = 40,
+        coarse_prec_cycles: int = 1,
+        coarse_mg_dense_limit: int = 4000,
+        apply_precision=None,
     ):
         assert len(mesh.axis_names) == 1 and mesh.axis_names[0] == AXIS
         self.plan = plan
@@ -216,6 +223,11 @@ class ShardedMultigridSolver:
         self.coarse_kind = coarse
         self.coarse_cg_tol = coarse_cg_tol
         self.coarse_cg_maxiter = coarse_cg_maxiter
+        self.smoother = smoother
+        self.cheb_ratio = cheb_ratio
+        self.coarse_mg_tol = coarse_mg_tol
+        self.coarse_mg_maxiter = coarse_mg_maxiter
+        self.coarse_prec_cycles = coarse_prec_cycles
 
         S = mesh.devices.size
         E = plan.base.nelements
@@ -223,8 +235,19 @@ class ShardedMultigridSolver:
         self.E_pad = ((E + S - 1) // S) * S
         self.E = E
 
-        # reuse the dense per-level reference stacks from the single-chip path
-        inner = MultigridSolver(plan, dtype=dtype, coarse="cg")
+        # reuse the dense per-level reference stacks from the single-chip
+        # path; for coarse="mg" the inner solver also owns the aux hierarchy
+        inner = MultigridSolver(
+            plan,
+            dtype=dtype,
+            coarse="mg" if coarse == "mg" else "cg",
+            coarse_mg_tol=coarse_mg_tol,
+            coarse_mg_maxiter=coarse_mg_maxiter,
+            coarse_prec_cycles=coarse_prec_cycles,
+            coarse_mg_dense_limit=coarse_mg_dense_limit,
+            apply_precision=apply_precision,
+        )
+        self.apply_precision = inner.apply_precision
         self._np_dtype = np.dtype(jnp.dtype(dtype).name)
 
         self.sharding = NamedSharding(mesh, P(AXIS, None))
@@ -279,6 +302,7 @@ class ShardedMultigridSolver:
         self.interior_idx = dev(plan.interior_base_nodes.astype(np.int32), P())
         self._inner = inner
 
+        self._power_fn = None
         self._vcycle = jax.jit(self._make_vcycle())
 
     # -- coefficients / coarse factor (host) ------------------------------ #
@@ -291,6 +315,18 @@ class ShardedMultigridSolver:
     def coarse_cholesky(self, sigma_el, lam: float):
         return jax.device_put(self._inner.coarse_cholesky(sigma_el, lam), self.replicated)
 
+    def coarse_setup(self, sigma_el, lam: float):
+        """Replicated coarse-solve payload (see MultigridSolver.coarse_setup):
+        base-mesh vectors/hierarchies are O(N_base), tiny next to the fine
+        levels, so every shard carries and solves them identically."""
+        if self.coarse_kind == "chol":
+            return self.coarse_cholesky(sigma_el, lam)
+        if self.coarse_kind == "cg":
+            return jax.device_put(
+                jnp.zeros((0, 0), dtype=self.dtype), self.replicated
+            )
+        return jax.device_put(self._inner.coarse_setup(sigma_el, lam), self.replicated)
+
     def zero_states(self):
         xs = tuple(
             jax.device_put(
@@ -302,9 +338,10 @@ class ShardedMultigridSolver:
         return xs, xs
 
     def put(self, x_np, level=None):
-        """Pad + shard a global [E, n_local] array."""
+        """Pad + shard a global element-leading array ([E, n_local] or [E])."""
         x_np = _pad_elems(np.asarray(x_np, dtype=self._np_dtype), self.E_pad)
-        return jax.device_put(jnp.asarray(x_np), self.sharding)
+        spec = P(AXIS, *([None] * (x_np.ndim - 1)))
+        return jax.device_put(jnp.asarray(x_np), NamedSharding(self.mesh, spec))
 
     # -- traced building blocks (run inside shard_map on local blocks) ---- #
     def _combine(self, x, L, k, valid):
@@ -346,7 +383,12 @@ class ShardedMultigridSolver:
     def _dot(self, a, b):
         return jax.lax.psum(jnp.vdot(a, b), AXIS)
 
-    def _smooth(self, x, b, coeff, L, k, valid, steps):
+    def _smooth(self, x, b, coeff, L, k, valid, steps, lam_max=None):
+        if self.smoother == "chebyshev":
+            return self._smooth_chebyshev(x, b, coeff, L, k, valid, steps, lam_max)
+        return self._smooth_cg(x, b, coeff, L, k, valid, steps)
+
+    def _smooth_cg(self, x, b, coeff, L, k, valid, steps):
         bm = L["boundary_mask"]
         r = self._combine((b - self._apply_op(x, coeff, L)) * bm, L, k, valid)
         p = r
@@ -360,6 +402,43 @@ class ShardedMultigridSolver:
             rs_new = self._dot(r, r)
             p = r + safe(rs_new, rs) * p
             rs = rs_new
+        return x, r
+
+    def _diagonal(self, coeff, L, k, valid):
+        """Interface-combined assembled diagonal on the duplicated layout
+        (mirrors MultigridSolver.diagonal)."""
+        d_ref = jnp.diagonal(L["stack"], axis1=1, axis2=2)  # [P, n]
+        d = jnp.einsum("ep,pn->en", coeff, d_ref)
+        return self._combine(d, L, k, valid)
+
+    def _smooth_chebyshev(self, x, b, coeff, L, k, valid, steps, lam_max):
+        """Jacobi-preconditioned Chebyshev smoother — no dot products, hence
+        no cross-chip psum per step (the smoother whose rationale IS
+        multi-chip; single-device form: solver/multigrid.py)."""
+        bm = L["boundary_mask"]
+        d = self._diagonal(coeff, L, k, valid)
+        dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        lam_min = lam_max / self.cheb_ratio
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+
+        def residual(x):
+            return self._combine((b - self._apply_op(x, coeff, L)) * bm, L, k, valid)
+
+        r = residual(x)
+        z = dinv * r
+        p = (1.0 / theta) * z
+        x = x + p
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(steps - 1):
+            r = residual(x)
+            z = dinv * r
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            p = rho_new * rho * p + (2.0 * rho_new / delta) * z
+            x = x + p
+            rho = rho_new
+        r = residual(x)
         return x, r
 
     def _coarse_chol(self, b0, chol, elements):
@@ -404,57 +483,122 @@ class ShardedMultigridSolver:
         x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
         return x
 
+    def _coarse_mg(self, b0, coeff, aux, L, elements, valid):
+        """Sharded coarse solve via CG on the exact level-0 operator with a
+        replicated aux-hierarchy V-cycle preconditioner: the base-node vector
+        is psum-assembled once per preconditioner application and the aux
+        problem (O(N_base), tiny) is solved identically on every shard."""
+        w = L["first_copy_mask"]
+        bm = L["boundary_mask"]
+        inner_aux = self._inner.aux_solver
+        gplan = self._inner.coarse_geom.plan
+        aux_shapes = [
+            (gplan.base.nelements, gplan.n_local(k)) for k in range(gplan.nlevels)
+        ]
+        safe = MultigridSolver._safe_div
+
+        def dot(a, b):
+            return jax.lax.psum(jnp.vdot(a * w, b), AXIS)
+
+        def Aop(v):
+            return self._combine(self._apply_op(v, coeff, L) * bm, L, 0, valid)
+
+        def prec(r):
+            u = jnp.zeros((self.n_base_nodes,), r.dtype)
+            u = u.at[elements.reshape(-1)].add((r * w).reshape(-1))
+            r_glob = jax.lax.psum(u, AXIS)
+            b_aux = r_glob[aux["node_map"]] * aux["aux_first_mask"]
+            xs_a = tuple(jnp.zeros(s, r.dtype) for s in aux_shapes)
+            bs_a = (*(jnp.zeros(s, r.dtype) for s in aux_shapes[:-1]), b_aux)
+            for _ in range(self.coarse_prec_cycles):
+                xs_a, _ = inner_aux._vcycle_impl(
+                    xs_a,
+                    bs_a,
+                    aux["coeff"],
+                    aux["chol"],
+                    aux["Ls"],
+                    aux["base_elements"],
+                    aux["interior_idx"],
+                    aux["lam_max"],
+                )
+            z_glob = xs_a[-1].reshape(-1)[aux["aux_first_flat"]]
+            return z_glob[elements] * bm
+
+        b = self._combine(b0, L, 0, valid) * bm
+        x = jnp.zeros_like(b)
+        r = b
+        z = prec(r)
+        p = z
+        rz = dot(r, z)
+        rs = dot(r, r)
+        eps2 = jnp.asarray(self.coarse_mg_tol, b.dtype) ** 2 * (rs + 1e-300)
+
+        def body(state):
+            x, r, p, rz, rs, i = state
+            Ap = Aop(p)
+            alpha = safe(rz, dot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = dot(r, z)
+            p = z + safe(rz_new, rz) * p
+            return x, r, p, rz_new, dot(r, r), i + 1
+
+        def cond(state):
+            *_, rs_c, i = state
+            return jnp.logical_and(rs_c > eps2, i < self.coarse_mg_maxiter)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, rs, 0))
+        return x
+
+    _LEVEL_SPECS = dict(
+        gather=None,  # handled specially below (nested dict of arrays)
+        stack=P(),
+        boundary_mask=P(AXIS, None),
+        first_copy_mask=P(AXIS, None),
+        P_up=P(),
+        loc_gather=P(AXIS, None),
+        loc_scatter=P(AXIS, None),
+        loc_group=P(AXIS, None),
+        cross_gather=P(AXIS, None),
+        cross_scatter=P(AXIS, None),
+        cross_group=P(AXIS, None),
+    )
+
+    def _level_args(self, k):
+        out = {
+            key: self.levels[k][key]
+            for key in self._LEVEL_SPECS
+            if key != "gather" and self.levels[k][key] is not None
+        }
+        out["gather"] = self.levels[k]["gather"]
+        return out
+
+    def _level_specs(self, k):
+        out = {
+            key: self._LEVEL_SPECS[key]
+            for key in self._LEVEL_SPECS
+            if key != "gather" and self.levels[k][key] is not None
+        }
+        out["gather"] = {
+            name: tuple(P(AXIS, *([None] * (a.ndim - 1))) for a in arrs)
+            for name, arrs in self.levels[k]["gather"].items()
+        }
+        return out
+
+    def _level_statics(self, k):
+        return dict(
+            n_loc_groups=self.levels[k]["n_loc_groups"],
+            n_cross_groups=self.levels[k]["n_cross_groups"],
+        )
+
     def _make_vcycle(self):
         from ..ops.transfer import prolong_add, restrict
 
-        levels = self.levels
         top = self.nlevels - 1
-        in_level_specs = dict(
-            gather=None,  # handled specially below (nested dict of arrays)
-            stack=P(),
-            boundary_mask=P(AXIS, None),
-            first_copy_mask=P(AXIS, None),
-            P_up=P(),
-            loc_gather=P(AXIS, None),
-            loc_scatter=P(AXIS, None),
-            loc_group=P(AXIS, None),
-            cross_gather=P(AXIS, None),
-            cross_scatter=P(AXIS, None),
-            cross_group=P(AXIS, None),
-        )
+        statics = [self._level_statics(k) for k in range(self.nlevels)]
 
-        def level_args(k):
-            out = {
-                key: levels[k][key]
-                for key in in_level_specs
-                if key != "gather" and levels[k][key] is not None
-            }
-            out["gather"] = levels[k]["gather"]
-            return out
-
-        def level_specs(k):
-            out = {
-                key: in_level_specs[key]
-                for key in in_level_specs
-                if key != "gather" and levels[k][key] is not None
-            }
-            out["gather"] = {
-                name: tuple(
-                    P(AXIS, *([None] * (a.ndim - 1))) for a in arrs
-                )
-                for name, arrs in levels[k]["gather"].items()
-            }
-            return out
-
-        statics = [
-            dict(
-                n_loc_groups=levels[k]["n_loc_groups"],
-                n_cross_groups=levels[k]["n_cross_groups"],
-            )
-            for k in range(self.nlevels)
-        ]
-
-        def body(xs, bs, coeff, chol, elements, valid, *level_arrays):
+        def body(xs, bs, coeff, chol, elements, valid, lam_max, *level_arrays):
             Ls = [dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)]
             xs = list(xs)
             bs = list(bs)
@@ -463,13 +607,17 @@ class ShardedMultigridSolver:
                 if k == 0:
                     if self.coarse_kind == "chol":
                         xs[0] = self._coarse_chol(bs[0], chol, elements)
+                    elif self.coarse_kind == "mg":
+                        xs[0] = self._coarse_mg(
+                            bs[0], coeff, chol, Ls[0], elements, valid
+                        )
                     else:
                         xs[0] = self._coarse_cg(bs[0], coeff, Ls[0], valid)
                     return None
                 steps = (
                     self.smoothing_steps if k == top else self.coarse_smoothing_steps
                 )
-                x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], k, valid, steps)
+                x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], k, valid, steps, lam_max)
                 r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
                     "boundary_mask"
                 ]
@@ -477,7 +625,7 @@ class ShardedMultigridSolver:
                 xs[k - 1] = jnp.zeros_like(xs[k - 1])
                 descend(k - 1)
                 x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
-                x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps)
+                x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps, lam_max)
                 xs[k] = x
                 return r
 
@@ -489,10 +637,11 @@ class ShardedMultigridSolver:
             state_spec,
             state_spec,
             P(AXIS, None),  # coeff
-            P(),  # chol
+            P(),  # chol factor or coarse_setup pytree (replicated)
             P(AXIS, None),  # elements
             P(AXIS),  # valid element mask
-            *[level_specs(k) for k in range(self.nlevels)],
+            P(),  # lam_max scalar
+            *[self._level_specs(k) for k in range(self.nlevels)],
         )
         out_specs = (state_spec, P(AXIS, None))
 
@@ -504,7 +653,7 @@ class ShardedMultigridSolver:
             check_vma=False,
         )
 
-        def vcycle(xs, bs, coeff, chol):
+        def vcycle(xs, bs, coeff, chol, lam_max):
             return smapped(
                 xs,
                 bs,
@@ -512,19 +661,79 @@ class ShardedMultigridSolver:
                 chol,
                 self.base_elements,
                 self.valid_mask,
-                *[level_args(k) for k in range(self.nlevels)],
+                lam_max,
+                *[self._level_args(k) for k in range(self.nlevels)],
             )
 
         return vcycle
 
     # -- public ------------------------------------------------------------ #
-    def vcycle(self, xs, bs, coeff, chol=None):
+    def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
         if chol is None:
-            assert self.coarse_kind != "chol"
-            chol = jax.device_put(
-                jnp.zeros((0, 0), dtype=self.dtype), self.replicated
+            assert self.coarse_kind not in ("chol", "mg"), (
+                "pass coarse_setup(sigma, lam) as chol"
             )
-        return self._vcycle(xs, bs, coeff, chol)
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        if lam_max is None:
+            assert self.smoother != "chebyshev", (
+                "pass lam_max=estimate_lambda_max(coeff)"
+            )
+            lam_max = jnp.zeros((), dtype=self.dtype)
+        else:
+            lam_max = jnp.asarray(lam_max, dtype=self.dtype)
+        return self._vcycle(xs, bs, coeff, chol, lam_max)
+
+    def estimate_lambda_max(self, coeff, iters: int = 30, seed: int = 0):
+        """Sharded power iteration for lambda_max(D^{-1} A) at the finest
+        level: local apply/combine per shard, psum-reduced dots, one jitted
+        shard_map fori_loop (mirrors MultigridSolver.estimate_lambda_max)."""
+        k = self.nlevels - 1
+        if self._power_fn is None:
+            statics = self._level_statics(k)
+
+            def body_fn(coeff, v, valid, *level_arrays):
+                L = dict(**level_arrays[0], **statics)
+                w = L["first_copy_mask"]
+                bm = L["boundary_mask"]
+                d = self._diagonal(coeff, L, k, valid)
+                dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+                v = self._combine(v, L, k, valid) * bm
+
+                def dot(a, b):
+                    return jax.lax.psum(jnp.vdot(a, b), AXIS)
+
+                def step(_, state):
+                    v, _ = state
+                    Av = self._combine(self._apply_op(v, coeff, L) * bm, L, k, valid)
+                    y = dinv * Av
+                    lam = dot(v * w, y) / dot(v * w, v)
+                    nrm = jnp.sqrt(dot(y * w, y))
+                    return y / jnp.where(nrm == 0, 1.0, nrm), lam
+
+                _, lam = jax.lax.fori_loop(
+                    0, iters, step, (v, jnp.zeros((), v.dtype))
+                )
+                return lam
+
+            smapped = jax.shard_map(
+                body_fn,
+                mesh=self.mesh,
+                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), self._level_specs(k)),
+                out_specs=P(),
+                check_vma=False,
+            )
+            self._power_fn = jax.jit(
+                lambda coeff, v: smapped(
+                    coeff, v, self.valid_mask, self._level_args(k)
+                )
+            )
+        rng = np.random.default_rng(seed)
+        v0 = self.put(
+            rng.standard_normal((self.E, self.plan.n_local(k))).astype(
+                self._np_dtype
+            )
+        )
+        return float(self._power_fn(coeff, v0)) * 1.15
 
     def residual_norm(self, r, k=None):
         k = self.nlevels - 1 if k is None else k

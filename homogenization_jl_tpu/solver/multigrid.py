@@ -78,6 +78,10 @@ class MultigridSolver:
         apply_precision=None,
         smoother: str = "cg",
         cheb_ratio: float = 30.0,
+        coarse_mg_tol: float = 1e-8,
+        coarse_mg_maxiter: int = 40,
+        coarse_prec_cycles: int = 1,
+        coarse_mg_dense_limit: int = 4000,
     ):
         self.plan = plan
         self.dtype = dtype
@@ -87,6 +91,9 @@ class MultigridSolver:
         self.coarse_kind = coarse
         self.coarse_cg_tol = coarse_cg_tol
         self.coarse_cg_maxiter = coarse_cg_maxiter
+        self.coarse_mg_tol = coarse_mg_tol
+        self.coarse_mg_maxiter = coarse_mg_maxiter
+        self.coarse_prec_cycles = coarse_prec_cycles
         self.combine_kind = combine
         self.smoother = smoother
         self.cheb_ratio = cheb_ratio
@@ -191,6 +198,46 @@ class MultigridSolver:
         self.interior_idx = jnp.asarray(plan.interior_base_nodes.astype(np.int32))
         self._np_dtype = np_dtype
 
+        self._power_jit = {}
+
+        # base-mesh coarsening below level 0 (coarse="mg"): an auxiliary
+        # implicit hierarchy on the geometrically coarsened box, used as a
+        # Chebyshev-smoothed V-cycle preconditioner for CG on the exact
+        # level-0 operator (solver/coarse.py)
+        self.coarse_geom = None
+        self.aux_solver = None
+        if coarse == "mg":
+            from .coarse import build_coarse_geometry
+
+            self.coarse_geom = build_coarse_geometry(
+                plan, dense_limit=coarse_mg_dense_limit
+            )
+            assert self.coarse_geom is not None, (
+                "coarse='mg' requires a full-box hypercube base mesh with an "
+                "even cell count; use coarse='chol' or 'cg' otherwise"
+            )
+            self.aux_solver = MultigridSolver(
+                self.coarse_geom.plan,
+                dtype=dtype,
+                smoother="chebyshev",
+                coarse="chol",
+                apply_precision=self.apply_precision,
+            )
+            g = self.coarse_geom
+
+            def idx(a):
+                a = np.asarray(a)
+                return jnp.asarray(
+                    a.astype(np.int32) if a.size == 0 or a.max() < 2**31 else a
+                )
+
+            self._aux_maps = dict(
+                node_map=idx(g.node_map),
+                aux_first_flat=idx(g.aux_first_flat),
+                main_first_flat=idx(g.main_first_flat),
+                aux_first_mask=jnp.asarray(g.aux_first_mask, dtype=dtype),
+            )
+
         self._vcycle = jax.jit(self._vcycle_impl)
 
     # ------------------------------------------------------------------ #
@@ -211,6 +258,29 @@ class MultigridSolver:
         A_int = A[np.ix_(ii, ii)].toarray()
         L = np.linalg.cholesky(A_int)
         return jnp.asarray(L.astype(self._np_dtype))
+
+    def coarse_setup(self, sigma_el, lam: float):
+        """Per-(sigma, lam) coarse-solve payload, passed to ``vcycle``:
+        the Cholesky factor ("chol"), an empty array ("cg"), or the aux
+        hierarchy's coefficients + factor + Chebyshev bound ("mg")."""
+        if self.coarse_kind == "chol":
+            return self.coarse_cholesky(sigma_el, lam)
+        if self.coarse_kind == "cg":
+            return jnp.zeros((0, 0), dtype=self.dtype)
+        g = self.coarse_geom
+        sigma_aux = g.average_sigma(sigma_el)
+        coeff_a = self.aux_solver.coefficients(sigma_aux, lam)
+        chol_a = self.aux_solver.coarse_cholesky(sigma_aux, lam)
+        lam_max = self.aux_solver.estimate_lambda_max(coeff_a)
+        return dict(
+            coeff=coeff_a,
+            chol=chol_a,
+            lam_max=jnp.asarray(lam_max, self.dtype),
+            Ls=tuple(self.aux_solver.levels),
+            base_elements=self.aux_solver.base_elements,
+            interior_idx=self.aux_solver.interior_idx,
+            **self._aux_maps,
+        )
 
     # ------------------------------------------------------------------ #
     # device building blocks (traced)
@@ -261,29 +331,42 @@ class MultigridSolver:
     def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
         """Power iteration for the largest eigenvalue of D^{-1} A on the
         constrained, interface-consistent subspace (host helper, one call
-        per coefficient update — like coarse_cholesky)."""
+        per coefficient update — like coarse_cholesky). Runs as ONE jitted
+        fori_loop: per-step dispatch costs ~0.5s over the axon tunnel."""
         k = self.nlevels - 1 if k is None else k
-        d = self.diagonal(coeff, k)
-        dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
-        w = self.levels[k].first_copy_mask
         rng = np.random.default_rng(seed)
-        v = jnp.asarray(
+        v0 = jnp.asarray(
             rng.standard_normal((self.plan.base.nelements, self.plan.n_local(k))),
             dtype=self.dtype,
         )
-        v = self._constrain(self._combine(v, k), k)
+        if k not in self._power_jit:
 
-        @jax.jit
-        def step(v):
-            Av = self._combine(self._constrain(self._apply_op(v, coeff, k), k), k)
-            y = dinv * Av
-            lam = jnp.vdot(v * w, y) / jnp.vdot(v * w, v)
-            nrm = jnp.sqrt(jnp.vdot(y * w, y))
-            return y / jnp.where(nrm == 0, 1.0, nrm), lam
+            def power(coeff, v, Ls, iters):
+                d = self.diagonal(coeff, k, Ls)
+                dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+                w = Ls[k].first_copy_mask
+                v = self._constrain(self._combine(v, k, Ls), k, Ls)
 
-        lam = 0.0
-        for _ in range(iters):
-            v, lam = step(v)
+                def body(_, state):
+                    v, _ = state
+                    Av = self._combine(
+                        self._constrain(self._apply_op(v, coeff, k, Ls), k, Ls),
+                        k,
+                        Ls,
+                    )
+                    y = dinv * Av
+                    lam = jnp.vdot(v * w, y) / jnp.vdot(v * w, v)
+                    nrm = jnp.sqrt(jnp.vdot(y * w, y))
+                    return y / jnp.where(nrm == 0, 1.0, nrm), lam
+
+                _, lam = jax.lax.fori_loop(
+                    0, iters, body, (v, jnp.zeros((), v.dtype))
+                )
+                return lam
+
+            self._power_jit[k] = jax.jit(power, static_argnames="iters")
+
+        lam = self._power_jit[k](coeff, v0, tuple(self.levels), iters=iters)
         return float(lam) * 1.15  # safety margin (underestimating lam_max
         # lets the highest modes amplify and stalls the V-cycle)
 
@@ -385,6 +468,80 @@ class MultigridSolver:
         x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
         return x
 
+    def _coarse_solve_mg(self, b0, coeff, aux, Ls, base_elements):
+        """Coarse solve via CG on the exact level-0 operator, preconditioned
+        by aux V-cycle(s) on the coarsened-box hierarchy (solver/coarse.py).
+
+        Replaces the reference's direct BaseLevel solve
+        (src/multigrid.jl:74-93) when the base mesh is too large to factor.
+        """
+        Ls = Ls or self.levels
+        w = Ls[0].first_copy_mask
+        gplan = self.coarse_geom.plan
+        aux_shapes = [
+            (gplan.base.nelements, gplan.n_local(k)) for k in range(gplan.nlevels)
+        ]
+
+        def Aop(v):
+            return self._combine(
+                self._constrain(self._apply_op(v, coeff, 0, Ls), 0, Ls), 0, Ls
+            )
+
+        def dot(a, b):
+            return jnp.vdot(a * w, b)
+
+        def prec(r):
+            # main level-0 layout (combined copies) -> global base vector ->
+            # aux finest layout in first-copy (local-contribution) form
+            r_glob = r.reshape(-1)[aux["main_first_flat"]]
+            b_aux = r_glob[aux["node_map"]] * aux["aux_first_mask"]
+            xs_a = tuple(jnp.zeros(s, b_aux.dtype) for s in aux_shapes)
+            bs_a = (
+                *(jnp.zeros(s, b_aux.dtype) for s in aux_shapes[:-1]),
+                b_aux,
+            )
+            for _ in range(self.coarse_prec_cycles):
+                xs_a, _ = self.aux_solver._vcycle_impl(
+                    xs_a,
+                    bs_a,
+                    aux["coeff"],
+                    aux["chol"],
+                    aux["Ls"],
+                    aux["base_elements"],
+                    aux["interior_idx"],
+                    aux["lam_max"],
+                )
+            # aux copies are interface-consistent: read any (the first)
+            z_glob = xs_a[-1].reshape(-1)[aux["aux_first_flat"]]
+            return z_glob[base_elements] * Ls[0].boundary_mask
+
+        b = self._constrain(self._combine(b0, 0, Ls), 0, Ls)
+        x = jnp.zeros_like(b)
+        r = b
+        z = prec(r)
+        p = z
+        rz = dot(r, z)
+        rs = dot(r, r)
+        eps2 = jnp.asarray(self.coarse_mg_tol, b.dtype) ** 2 * (rs + 1e-300)
+
+        def body(state):
+            x, r, p, rz, rs, i = state
+            Ap = Aop(p)
+            alpha = self._safe_div(rz, dot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = dot(r, z)
+            p = z + self._safe_div(rz_new, rz) * p
+            return x, r, p, rz_new, dot(r, r), i + 1
+
+        def cond(state):
+            *_, rs_c, i = state
+            return jnp.logical_and(rs_c > eps2, i < self.coarse_mg_maxiter)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, rs, 0))
+        return x
+
     def _vcycle_impl(self, xs, bs, coeff, chol, Ls, base_elements, interior_idx, lam_max=None):
         """One V-cycle over all levels; returns (xs, r_finest).
 
@@ -401,6 +558,8 @@ class MultigridSolver:
             if k == 0:
                 if self.coarse_kind == "chol":
                     xs[0] = self._coarse_solve_chol(bs[0], chol, base_elements, interior_idx)
+                elif self.coarse_kind == "mg":
+                    xs[0] = self._coarse_solve_mg(bs[0], coeff, chol, Ls, base_elements)
                 else:
                     xs[0] = self._coarse_solve_cg(bs[0], coeff, Ls)
                 return None
@@ -431,7 +590,9 @@ class MultigridSolver:
 
     def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
         if chol is None:
-            assert self.coarse_kind != "chol", "chol factor required"
+            assert self.coarse_kind not in ("chol", "mg"), (
+                "pass coarse_setup(sigma, lam) as chol"
+            )
             chol = jnp.zeros((0, 0), dtype=self.dtype)
         if self.smoother == "chebyshev":
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"

@@ -64,6 +64,90 @@ def test_sharded_vcycle_matches_single_device(dim, n, levels, coarse):
     assert np.all(np.asarray(xs_s[-1])[E:] == 0)
 
 
+def test_sharded_chebyshev_matches_single_device():
+    """Chebyshev-smoothed sharded V-cycle == single-device (the smoother
+    whose rationale is multi-chip: zero dot products per step)."""
+    plan, sigma, b_np = _setup(2, 4, 3)
+    lam = 0.2
+
+    ref = MultigridSolver(plan, dtype=jnp.float64, coarse="chol", smoother="chebyshev")
+    coeff = ref.coefficients(sigma, lam)
+    chol = ref.coarse_cholesky(sigma, lam)
+    lam_max = ref.estimate_lambda_max(coeff)
+    xs, bs = ref.zero_states()
+    bs = (*bs[:-1], jnp.asarray(b_np))
+    for _ in range(4):
+        xs, r = ref.vcycle(xs, bs, coeff, chol, lam_max=lam_max)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    sh = ShardedMultigridSolver(
+        plan, mesh, dtype=jnp.float64, coarse="chol", smoother="chebyshev"
+    )
+    coeff_s = sh.coefficients(sigma, lam)
+    chol_s = sh.coarse_cholesky(sigma, lam)
+    lam_max_s = sh.estimate_lambda_max(coeff_s)
+    # the power iteration itself must agree across the shard split
+    assert abs(lam_max_s - lam_max) < 1e-9 * abs(lam_max)
+    xs_s, bs_s = sh.zero_states()
+    bs_s = (*bs_s[:-1], sh.put(b_np))
+    for _ in range(4):
+        xs_s, r_s = sh.vcycle(xs_s, bs_s, coeff_s, chol_s, lam_max=lam_max_s)
+
+    E = plan.base.nelements
+    err = np.abs(np.asarray(xs_s[-1])[:E] - np.asarray(xs[-1])).max()
+    assert err < 1e-9 * max(np.abs(np.asarray(xs[-1])).max(), 1.0), err
+
+
+def test_sharded_mg_coarse_matches_single_device():
+    """coarse='mg' (aux-hierarchy-preconditioned CG coarse solve) sharded ==
+    single-device."""
+    plan, sigma, b_np = _setup(2, 8, 2)
+    lam = 0.1
+
+    ref = MultigridSolver(plan, dtype=jnp.float64, coarse="mg",
+                          coarse_mg_dense_limit=4, coarse_mg_tol=1e-12)
+    coeff = ref.coefficients(sigma, lam)
+    setup = ref.coarse_setup(sigma, lam)
+    xs, bs = ref.zero_states()
+    bs = (*bs[:-1], jnp.asarray(b_np))
+    for _ in range(3):
+        xs, r = ref.vcycle(xs, bs, coeff, setup)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    sh = ShardedMultigridSolver(
+        plan, mesh, dtype=jnp.float64, coarse="mg",
+        coarse_mg_dense_limit=4, coarse_mg_tol=1e-12,
+    )
+    coeff_s = sh.coefficients(sigma, lam)
+    setup_s = sh.coarse_setup(sigma, lam)
+    xs_s, bs_s = sh.zero_states()
+    bs_s = (*bs_s[:-1], sh.put(b_np))
+    for _ in range(3):
+        xs_s, r_s = sh.vcycle(xs_s, bs_s, coeff_s, setup_s)
+
+    E = plan.base.nelements
+    err = np.abs(np.asarray(xs_s[-1])[:E] - np.asarray(xs[-1])).max()
+    assert err < 1e-9 * max(np.abs(np.asarray(xs[-1])).max(), 1.0), err
+
+
+def test_sharded_driver_sigma_matches_single_device():
+    """The flagship homogenization driver run through an 8-device element
+    mesh produces the same sigma as the single-device run (to f64 roundoff:
+    only psum ordering differs)."""
+    from homogenization_jl_tpu.models.checkerboard import (
+        checkerboard_homogenization,
+    )
+
+    kwargs = dict(dim=2, refinements=1, tolerance=1e-6, seed=5, max_cycles=60)
+    s_single = checkerboard_homogenization(2, **kwargs)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    s_sharded = checkerboard_homogenization(2, device_mesh=mesh, **kwargs)
+    assert abs(s_sharded - s_single) < 1e-9 * max(abs(s_single), 1.0), (
+        s_sharded,
+        s_single,
+    )
+
+
 def test_cross_group_tables_cover_all_interface_dofs():
     """Local + cross groups partition the combine table groups."""
     from homogenization_jl_tpu.parallel.sharding import build_sharded_tables
