@@ -222,6 +222,9 @@ def checkerboard_homogenization(
     resume_from: str | None = None,
     device_mesh=None,
     smoother: str = "cg",
+    shrink: bool = True,
+    solver: str = "vcycle",
+    lanczos_iters: int = 120,
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -235,7 +238,27 @@ def checkerboard_homogenization(
     inner loop — V-cycles, integrals, next rhs — runs element-axis sharded
     through ShardedMultigridSolver and produces the same sigma.
     ``smoother``: "cg" (reference parity) or "chebyshev" (dot-free).
+    ``shrink``: domain shrinking per outer step (reference behavior). With
+    ``shrink=False`` the k=0 domain is kept for every step (same schedule
+    stop rule against the initial radius) — the fixed-domain variant that
+    the multishift recurrence (models/multishift.py) reproduces with one
+    Lanczos pass.
+    ``solver``: "vcycle" (reference behavior) or "multishift" — one
+    generalized-Lanczos pass serving every recurrence step (BASELINE
+    config 4; implies the fixed-domain variant).
     """
+    if solver == "multishift":
+        from .multishift import homogenization_multishift
+
+        return homogenization_multishift(
+            n,
+            dim=dim,
+            refinements=refinements,
+            lanczos_iters=lanczos_iters,
+            xi=xi,
+            cond_field=cond_field,
+            seed=seed,
+        )
     lam = 1.0
     sigma = 0.0
     box_radius = compute_box_radius(0, n)
@@ -411,6 +434,12 @@ def checkerboard_homogenization(
         boundary_layer = compute_boundary_layer(lam, n)
         if box_radius + boundary_layer > total_radius:
             break
+        if not shrink:
+            # fixed-domain variant: same operators, only lambda and the
+            # integration box change
+            v_prev = x
+            b = next_rhs_fn(x, lam)
+            continue
         total_radius = box_radius + boundary_layer
 
         n_nodes = prefix_in_radius(node_norms, total_radius, eps=1e-12)

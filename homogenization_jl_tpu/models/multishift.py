@@ -50,6 +50,178 @@ def shifted_family_solve(
     return multishift_cg(matvec, b, shifts, iters=iters, dot=dot)
 
 
+def homogenization_multishift(
+    n: int = 2,
+    dim: int = 2,
+    refinements: int = 1,
+    lanczos_iters: int = 120,
+    xi=None,
+    cond_field=None,
+    seed=None,
+    dtype=None,
+    mass_tol: float = 1e-12,
+    return_stats: bool = False,
+):
+    """Fixed-domain homogenization recurrence via ONE Lanczos pass.
+
+    The recurrence v_{k+1} = (lam_{k+1} M + A)^{-1} lam_{k+1} M v_k with
+    lam halving (homogenized_coefficients.jl:254-342) applies a chain of
+    resolvents of the SAME pencil (A, M) to one starting functional b0 —
+    exactly the structure the reference's multishift-CG tool exploits
+    (tools/multishift_cg.jl:67-166: one Krylov space serves every shift).
+    Here the generalized Lanczos process in the M-inner product builds an
+    M-orthonormal basis V with V' A V = T tridiagonal; every step then
+    reduces to an m x m shifted tridiagonal solve on host:
+
+        y_0 = (T + lam_0)^{-1} beta_0 e_1,   y_k = lam_k (T + lam_k)^{-1} y_{k-1},
+        v_k = V y_k,
+
+    so ONE device mat-vec stream (one A-apply + one M-solve per Lanczos
+    iteration) serves the whole recurrence, instead of a V-cycle loop per
+    outer step. The domain is fixed at the k=0 radius (the driver's
+    ``shrink=False`` variant — shrinking is a work optimization, not part
+    of the estimator); sigma increments use the same box masks, integrals
+    and 2^k scaling as the driver.
+
+    Memory: keeps the m Lanczos vectors ([m, E, n_local]) to reconstruct
+    the v_k — intended for the moderate fixed-domain sizes of BASELINE
+    config 4, not the 1e9-DOF regime.
+    """
+    import jax
+
+    from .checkerboard import (
+        _integrals_fns,
+        compute_boundary_layer,
+        compute_box_radius,
+        conductivity_per_element,
+        generate_conductivity,
+        initial_rhs,
+        ordered_hypercube,
+        prefix_in_radius,
+    )
+    from ..mesh.grid import affine_maps
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    lam = 1.0
+    box_radius = compute_box_radius(0, n)
+    R0 = box_radius + compute_boundary_layer(lam, n)
+    if xi is None:
+        xi = np.ones(dim) / np.sqrt(dim)
+    rng = np.random.default_rng(seed)
+    if cond_field is None:
+        cond_field = generate_conductivity(dim, 2 * R0, rng)
+
+    base, node_norms, center_norms = ordered_hypercube(dim, R0)
+    sigma_el = conductivity_per_element(base, cond_field, np.full(dim, float(R0)))
+    nlevels = refinements + 1
+    plan = build_grid_plan(base, nlevels)
+    solver = MultigridSolver(plan, dtype=dtype, coarse="cg")
+    kf = nlevels - 1
+    w = solver.levels[kf].first_copy_mask
+
+    coeff_A = solver.coefficients(sigma_el, 0.0)  # pure -div a grad part
+    mass = solver.levels[kf].stack[-1]
+    _, _, detJ_np, _ = affine_maps(base)
+    detJ = jnp.asarray(detJ_np, dtype=dtype)
+    area_fn, first_fn, terms_fn, _ = _integrals_fns(mass, detJ)
+
+    stats = {"A_applies": 0, "M_applies": 0}
+
+    def Aop(v):
+        stats["A_applies"] += 1
+        return solver._combine(solver._constrain(solver._apply_op(v, coeff_A, kf), kf), kf)
+
+    def M_local(v):
+        return detJ[:, None] * jnp.einsum(
+            "mn,en->em", mass, v, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def Mop(v):
+        return solver._combine(solver._constrain(M_local(v), kf), kf)
+
+    def dot_M(u, v):
+        # exact global M-inner product: sum_e u_e' (detJ_e Mhat) v_e
+        # (element integrals partition the domain; u, v consistent)
+        return float(jnp.vdot(u, M_local(v)))
+
+    def wdot(a, b):
+        return jnp.vdot(a * w, b)
+
+    b0 = jnp.asarray(initial_rhs(plan, sigma_el, xi), dtype=dtype)
+    b0c = solver._constrain(solver._combine(b0, kf), kf)
+
+    def Msolve(b):
+        x, it, _ = cg(Mop, b, tol=mass_tol, maxiter=400, dot=wdot)
+        stats["M_applies"] += int(it) + 1
+        return x
+
+    # ---- generalized Lanczos in the M-inner product -----------------------
+    q0 = Msolve(b0c)
+    beta0 = np.sqrt(dot_M(q0, q0))
+    v = q0 / beta0
+    v_prev = jnp.zeros_like(v)
+    V = [v]
+    alphas, betas = [], []
+    beta_j = 0.0
+    for _ in range(lanczos_iters):
+        u = Msolve(Aop(v))  # M^{-1} A v
+        alpha = dot_M(u, v)  # = v' A v
+        u = u - alpha * v - beta_j * v_prev
+        beta_next = np.sqrt(max(dot_M(u, u), 0.0))
+        alphas.append(alpha)
+        if beta_next <= 1e-300:
+            break
+        betas.append(beta_next)
+        v_prev, v = v, u / beta_next
+        V.append(v)
+        beta_j = beta_next
+    m = len(alphas)
+    V = jnp.stack(V[:m])  # [m, E, n_local]
+    T = np.diag(np.array(alphas))
+    if m > 1:
+        off = np.array(betas[: m - 1])
+        T += np.diag(off, 1) + np.diag(off, -1)
+
+    # ---- recurrence in the reduced space + sigma integrals ----------------
+    def reconstruct(y):
+        return jnp.einsum("i,ien->en", jnp.asarray(y, dtype=dtype), V)
+
+    sigma = 0.0
+    sigma_steps = []
+    e1 = np.zeros(m)
+    e1[0] = beta0
+    y = np.linalg.solve(T + lam * np.eye(m), e1)  # y_0
+    v_k = reconstruct(y)
+    v_km1 = None
+    for k in range(n + 1):
+        n_box = prefix_in_radius(center_norms, box_radius)
+        mask = jnp.asarray(
+            (np.arange(base.nelements) < n_box).astype(np.float64), dtype=dtype
+        )
+        area = float(area_fn(mask))
+        if k == 0:
+            integral = float(first_fn(v_k, b0, mask))
+        else:
+            integral = float(terms_fn(v_k, v_km1, mask))
+        sigma += 2.0**k * integral / area
+        sigma_steps.append(sigma)
+
+        lam /= 2.0
+        box_radius = compute_box_radius(k + 1, n)
+        if box_radius + compute_boundary_layer(lam, n) > R0:
+            break
+        y = lam * np.linalg.solve(T + lam * np.eye(m), y)
+        v_km1, v_k = v_k, reconstruct(y)
+
+    if return_stats:
+        stats["lanczos_iters"] = m
+        stats["sigma_steps"] = sigma_steps
+        return sigma, stats
+    return sigma
+
+
 def multishift_demo(dim=2, n=4, levels=3, n_shifts=3, iters=150, seed=0):
     """Demo mirroring tools/multishift_cg.jl:87 (shifts 1, 1/2, 1/4): one
     Krylov pass vs per-shift CG; returns max relative solution difference."""

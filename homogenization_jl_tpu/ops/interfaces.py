@@ -158,6 +158,47 @@ def combine_rowwise_contig(
     return jnp.concatenate([head, tail], axis=1)
 
 
+def combine_gather_rows(x, gt: dict, lay: dict):
+    """Gather-based interface combine at cell-row granularity.
+
+    Improvement over ``combine_gather`` (measured 69.9 -> 10.7 ms at
+    [196608, 969] on a v5e): the contiguous layout makes each class span an
+    [E, L*W] block, reshapeable to [E*L, W] rows — one row per (element,
+    local cell). Owner values are then ONE gather with flat indices
+    oe*L + ol (no L-way window selects, no per-owner-slot gather ops), the
+    group sums are one masked reduction over the owner axis, and each
+    element's class block is rebuilt by ONE [E, L]-indexed gather. Row
+    traffic drops from (M*L + L)*O(E) tiny rows to (M + 1)*O(E) exact rows;
+    TPU row gathers cost per ROW, which is what made the combine ~30% of the
+    V-cycle before this.
+    """
+    i0 = lay["iface_start"]
+    parts = [x[:, :i0]] if i0 > 0 else []
+    E = x.shape[0]
+
+    def class_blocks(tables, offsets, width):
+        oe, ol, om, gmap = tables  # [G, M], [G, M], [G, M], [E, L]
+        G, M = oe.shape
+        L = len(offsets)
+        c0 = min(offsets)
+        xr = x[:, c0 : c0 + L * width].reshape(E * L, width)
+        flat = oe.astype(jnp.int32) * L + ol.astype(jnp.int32)  # [G, M]
+        rows = xr[flat]  # ONE gather of G*M width-W rows
+        sums = jnp.einsum(
+            "gmw,gm->gw", rows, om.astype(x.dtype), precision=_PRECISION
+        )
+        return [sums[gmap].reshape(E, L * width)]  # ONE rebuild gather
+
+    if gt.get("face") is not None:
+        parts += class_blocks(gt["face"], lay["face_off"], lay["npf"])
+    if gt.get("edge") is not None and lay["npe"] > 0:
+        parts += class_blocks(gt["edge"], lay["edge_off"], lay["npe"])
+    if gt.get("corner") is not None:
+        parts += class_blocks(gt["corner"], lay["corner_cols"], 1)
+
+    return jnp.concatenate(parts, axis=1)
+
+
 def combine_gather(x, gt: dict, lay: dict):
     """Fully gather-based interface combine (zero scatters).
 

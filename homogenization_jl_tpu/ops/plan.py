@@ -135,6 +135,26 @@ class GridPlan:
         return self.base.nelements * self.n_local(self.nlevels - 1)
 
 
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(s, s + c) for s, c in zip(starts, counts)]) without
+    the Python loop (the loop dominated plan-build time at 1e6+ elements)."""
+    nz = counts > 0
+    starts, counts = starts[nz], counts[nz]
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(counts.sum())
+    step = np.ones(total, dtype=np.int64)
+    step[0] = starts[0]
+    idx = np.cumsum(counts)[:-1]
+    step[idx] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(step)
+
+
+def _pos_in_group(counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(c) for c in counts]) without the Python loop."""
+    return _ranges(np.zeros(len(counts), dtype=np.int64), counts)
+
+
 def _occurrences(rows: np.ndarray):
     """Group identical rows. Returns (occ_order, starts, counts):
     rows[occ_order[starts[g] : starts[g] + counts[g]]] are the occurrences of
@@ -198,9 +218,7 @@ def _class_tables(elements, local_table, nodes_of_local):
     # Interface cells: shared by >= 2 elements.
     shared = counts >= 2
     shared_starts, shared_counts = starts[shared], counts[shared]
-    occ = np.concatenate(
-        [np.arange(s, s + c) for s, c in zip(shared_starts, shared_counts)]
-    ) if len(shared_starts) else np.empty(0, dtype=np.int64)
+    occ = _ranges(shared_starts, shared_counts)
     cell_rank = np.repeat(np.arange(len(shared_starts)), shared_counts)
     if m > 0 and len(occ):
         ie, inode, igroup = expand(occ, cell_rank)
@@ -211,9 +229,7 @@ def _class_tables(elements, local_table, nodes_of_local):
 
     # Non-first copies (for zero_out_all_but_one): every shared occurrence
     # except the first per cell.
-    nf_occ = np.concatenate(
-        [np.arange(s + 1, s + c) for s, c in zip(shared_starts, shared_counts)]
-    ) if len(shared_starts) else np.empty(0, dtype=np.int64)
+    nf_occ = _ranges(shared_starts + 1, shared_counts - 1)
     if m > 0 and len(nf_occ):
         nfe, nfnode = expand(nf_occ)
     else:
@@ -354,9 +370,7 @@ def build_grid_plan(
                             )
                 face_cols = lnodes
             elif name == "edge" and m > 0 and len(sh_starts):
-                occ = np.concatenate(
-                    [np.arange(s, s + c) for s, c in zip(sh_starts, sh_counts)]
-                )
+                occ = _ranges(sh_starts, sh_counts)
                 grp = np.repeat(np.arange(len(sh_starts)), sh_counts)
                 eo, lo = elem_occ[order[occ]], local_occ[order[occ]]
                 for l in range(ltab.shape[0]):
@@ -367,9 +381,7 @@ def build_grid_plan(
                 edge_cols = lnodes
                 n_edge_groups = len(sh_starts)
             elif name == "corner" and len(sh_starts):
-                occ = np.concatenate(
-                    [np.arange(s, s + c) for s, c in zip(sh_starts, sh_counts)]
-                )
+                occ = _ranges(sh_starts, sh_counts)
                 grp = np.repeat(np.arange(len(sh_starts)), sh_counts)
                 eo, lo = elem_occ[order[occ]], local_occ[order[occ]]
                 for l in range(ltab.shape[0]):
@@ -388,9 +400,7 @@ def build_grid_plan(
                 o_local = np.zeros((G, M), dtype=np.int32)
                 o_mask = np.zeros((G, M), dtype=np.float64)
                 # occurrence j within its group
-                pos_in_group = np.concatenate(
-                    [np.arange(c) for c in counts]
-                ) if G else np.zeros(0, dtype=np.int64)
+                pos_in_group = _pos_in_group(counts)
                 grp_all = np.repeat(np.arange(G), counts)
                 eo_all = elem_occ[order]
                 lo_all = local_occ[order]

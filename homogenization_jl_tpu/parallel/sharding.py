@@ -210,6 +210,7 @@ class ShardedMultigridSolver:
         coarse_mg_tol: float = 1e-8,
         coarse_mg_maxiter: int = 40,
         coarse_prec_cycles: int = 1,
+        coarse_prec_smooth: int = 2,
         coarse_mg_dense_limit: int = 4000,
         apply_precision=None,
     ):
@@ -228,6 +229,7 @@ class ShardedMultigridSolver:
         self.coarse_mg_tol = coarse_mg_tol
         self.coarse_mg_maxiter = coarse_mg_maxiter
         self.coarse_prec_cycles = coarse_prec_cycles
+        self.coarse_prec_smooth = coarse_prec_smooth
 
         S = mesh.devices.size
         E = plan.base.nelements
@@ -244,6 +246,7 @@ class ShardedMultigridSolver:
             coarse_mg_tol=coarse_mg_tol,
             coarse_mg_maxiter=coarse_mg_maxiter,
             coarse_prec_cycles=coarse_prec_cycles,
+            coarse_prec_smooth=coarse_prec_smooth,
             coarse_mg_dense_limit=coarse_mg_dense_limit,
             apply_precision=apply_precision,
         )
@@ -321,6 +324,10 @@ class ShardedMultigridSolver:
         levels, so every shard carries and solves them identically."""
         if self.coarse_kind == "chol":
             return self.coarse_cholesky(sigma_el, lam)
+        if self.coarse_kind == "inv":
+            return jax.device_put(
+                self._inner.coarse_inverse(sigma_el, lam), self.replicated
+            )
         if self.coarse_kind == "cg":
             return jax.device_put(
                 jnp.zeros((0, 0), dtype=self.dtype), self.replicated
@@ -353,12 +360,12 @@ class ShardedMultigridSolver:
         overwrites cross slots with globally psum-med sums — O(surface)
         scatter only.
         """
-        from ..ops.interfaces import combine_gather
+        from ..ops.interfaces import combine_gather_rows
 
         gt = {name: tuple(a[0] for a in arrs) for name, arrs in L["gather"].items()}
         for name in ("face", "edge", "corner"):
             gt.setdefault(name, None)
-        out = combine_gather(x, gt, self.row_layout[k])
+        out = combine_gather_rows(x, gt, self.row_layout[k])
         out = out * valid[:, None]
 
         shape = out.shape
@@ -451,6 +458,17 @@ class ShardedMultigridSolver:
         sol = sol.at[self.interior_idx].set(sol_int)
         return sol[elements]
 
+    def _coarse_inv(self, b0, Ainv, elements):
+        u = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
+        u = u.at[elements.reshape(-1)].add(b0.reshape(-1))
+        u = jax.lax.psum(u, AXIS)
+        sol_int = jnp.matmul(
+            Ainv, u[self.interior_idx], precision=self.apply_precision
+        )
+        sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
+        sol = sol.at[self.interior_idx].set(sol_int)
+        return sol[elements]
+
     def _coarse_cg(self, b0, coeff, L, valid):
         w = L["first_copy_mask"]
         bm = L["boundary_mask"]
@@ -503,13 +521,15 @@ class ShardedMultigridSolver:
         def Aop(v):
             return self._combine(self._apply_op(v, coeff, L) * bm, L, 0, valid)
 
-        def prec(r):
-            u = jnp.zeros((self.n_base_nodes,), r.dtype)
-            u = u.at[elements.reshape(-1)].add((r * w).reshape(-1))
+        nu = self.coarse_prec_smooth
+
+        def aux_correct(rc):
+            u = jnp.zeros((self.n_base_nodes,), rc.dtype)
+            u = u.at[elements.reshape(-1)].add((rc * w).reshape(-1))
             r_glob = jax.lax.psum(u, AXIS)
             b_aux = r_glob[aux["node_map"]] * aux["aux_first_mask"]
-            xs_a = tuple(jnp.zeros(s, r.dtype) for s in aux_shapes)
-            bs_a = (*(jnp.zeros(s, r.dtype) for s in aux_shapes[:-1]), b_aux)
+            xs_a = tuple(jnp.zeros(s, rc.dtype) for s in aux_shapes)
+            bs_a = (*(jnp.zeros(s, rc.dtype) for s in aux_shapes[:-1]), b_aux)
             for _ in range(self.coarse_prec_cycles):
                 xs_a, _ = inner_aux._vcycle_impl(
                     xs_a,
@@ -523,6 +543,23 @@ class ShardedMultigridSolver:
                 )
             z_glob = xs_a[-1].reshape(-1)[aux["aux_first_flat"]]
             return z_glob[elements] * bm
+
+        def prec(r):
+            # junction-level MG cycle: exact-operator Chebyshev smoothing
+            # around the sigma-averaged aux correction (see single-device)
+            b_loc = r * w
+            x1 = jnp.zeros_like(r)
+            if nu > 0:
+                x1, _ = self._smooth_chebyshev(
+                    x1, b_loc, coeff, L, 0, valid, nu, aux["lam_max0"]
+                )
+            rc = self._combine((b_loc - self._apply_op(x1, coeff, L)) * bm, L, 0, valid)
+            x1 = x1 + aux_correct(rc)
+            if nu > 0:
+                x1, _ = self._smooth_chebyshev(
+                    x1, b_loc, coeff, L, 0, valid, nu, aux["lam_max0"]
+                )
+            return x1
 
         b = self._combine(b0, L, 0, valid) * bm
         x = jnp.zeros_like(b)
@@ -607,6 +644,8 @@ class ShardedMultigridSolver:
                 if k == 0:
                     if self.coarse_kind == "chol":
                         xs[0] = self._coarse_chol(bs[0], chol, elements)
+                    elif self.coarse_kind == "inv":
+                        xs[0] = self._coarse_inv(bs[0], chol, elements)
                     elif self.coarse_kind == "mg":
                         xs[0] = self._coarse_mg(
                             bs[0], coeff, chol, Ls[0], elements, valid
@@ -670,7 +709,7 @@ class ShardedMultigridSolver:
     # -- public ------------------------------------------------------------ #
     def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
         if chol is None:
-            assert self.coarse_kind not in ("chol", "mg"), (
+            assert self.coarse_kind not in ("chol", "inv", "mg"), (
                 "pass coarse_setup(sigma, lam) as chol"
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)

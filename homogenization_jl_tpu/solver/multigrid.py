@@ -33,6 +33,7 @@ from ..ops.apply import element_apply
 from ..ops.interfaces import (
     apply_mask,
     combine_gather,
+    combine_gather_rows,
     combine_interfaces,
     combine_rowwise_contig,
     copy_to_base,
@@ -81,6 +82,7 @@ class MultigridSolver:
         coarse_mg_tol: float = 1e-8,
         coarse_mg_maxiter: int = 40,
         coarse_prec_cycles: int = 1,
+        coarse_prec_smooth: int = 2,
         coarse_mg_dense_limit: int = 4000,
     ):
         self.plan = plan
@@ -94,6 +96,7 @@ class MultigridSolver:
         self.coarse_mg_tol = coarse_mg_tol
         self.coarse_mg_maxiter = coarse_mg_maxiter
         self.coarse_prec_cycles = coarse_prec_cycles
+        self.coarse_prec_smooth = coarse_prec_smooth
         self.combine_kind = combine
         self.smoother = smoother
         self.cheb_ratio = cheb_ratio
@@ -168,6 +171,17 @@ class MultigridSolver:
             self.row_corner_groups.append(rw.n_corner_groups)
             if plan.reference.layout is not None:
                 lay = plan.reference.layout[k]
+                # combine_gather_rows reshapes each class span to [E*L, W]:
+                # blocks must sit at consecutive width-multiples
+                for offs, wdt in (
+                    (lay.face_offsets, lay.npf),
+                    (lay.edge_offsets, lay.npe),
+                    (lay.corner_cols, 1),
+                ):
+                    if len(offs) and wdt > 0:
+                        assert all(
+                            offs[l] == offs[0] + l * wdt for l in range(len(offs))
+                        ), "interface layout not contiguous per class"
                 candidates = (
                     list(lay.face_offsets) + list(lay.edge_offsets) + list(lay.corner_cols)
                 )
@@ -220,7 +234,8 @@ class MultigridSolver:
                 self.coarse_geom.plan,
                 dtype=dtype,
                 smoother="chebyshev",
-                coarse="chol",
+                coarse="inv",  # inverse-matmul: cho_solve's triangular
+                # solves are sequential and dominate on TPU
                 apply_precision=self.apply_precision,
             )
             g = self.coarse_geom
@@ -259,23 +274,44 @@ class MultigridSolver:
         L = np.linalg.cholesky(A_int)
         return jnp.asarray(L.astype(self._np_dtype))
 
+    def coarse_inverse(self, sigma_el, lam: float):
+        """Dense inverse of the interior coarse operator. Unlike the
+        triangular solves of the Cholesky factor (inherently sequential —
+        slow on the MXU), applying the inverse is one matmul. Computed in
+        f64 on host, stored in the solver dtype; used where the coarse solve
+        is a preconditioner component ("mg" aux hierarchy) or where dtype
+        roundoff is acceptable ("inv")."""
+        A = assemble_operator(self.plan.base, sigma_el, lam, dtype=np.float64)
+        ii = self.plan.interior_base_nodes
+        A_int = A[np.ix_(ii, ii)].toarray()
+        return jnp.asarray(np.linalg.inv(A_int).astype(self._np_dtype))
+
     def coarse_setup(self, sigma_el, lam: float):
         """Per-(sigma, lam) coarse-solve payload, passed to ``vcycle``:
-        the Cholesky factor ("chol"), an empty array ("cg"), or the aux
-        hierarchy's coefficients + factor + Chebyshev bound ("mg")."""
+        the Cholesky factor ("chol"), the dense interior inverse ("inv"),
+        an empty array ("cg"), or the aux hierarchy's coefficients + factor
+        + Chebyshev bound ("mg")."""
         if self.coarse_kind == "chol":
             return self.coarse_cholesky(sigma_el, lam)
+        if self.coarse_kind == "inv":
+            return self.coarse_inverse(sigma_el, lam)
         if self.coarse_kind == "cg":
             return jnp.zeros((0, 0), dtype=self.dtype)
         g = self.coarse_geom
         sigma_aux = g.average_sigma(sigma_el)
         coeff_a = self.aux_solver.coefficients(sigma_aux, lam)
-        chol_a = self.aux_solver.coarse_cholesky(sigma_aux, lam)
+        chol_a = self.aux_solver.coarse_setup(sigma_aux, lam)
         lam_max = self.aux_solver.estimate_lambda_max(coeff_a)
+        # Chebyshev bound for the junction-level smoothing on the EXACT
+        # level-0 operator (the aux operator is sigma-averaged; smoothing on
+        # the exact operator around the aux correction is what makes the
+        # preconditioner strong under coefficient contrast)
+        lam_max0 = self.estimate_lambda_max(self.coefficients(sigma_el, lam), k=0)
         return dict(
             coeff=coeff_a,
             chol=chol_a,
             lam_max=jnp.asarray(lam_max, self.dtype),
+            lam_max0=jnp.asarray(lam_max0, self.dtype),
             Ls=tuple(self.aux_solver.levels),
             base_elements=self.aux_solver.base_elements,
             interior_idx=self.aux_solver.interior_idx,
@@ -288,6 +324,8 @@ class MultigridSolver:
     def _combine(self, x, k, Ls=None):
         L = (Ls or self.levels)[k]
         if self.combine_kind == "gather" and self.row_layout:
+            return combine_gather_rows(x, L.row["gather"], self.row_layout[k])
+        if self.combine_kind == "gather_legacy" and self.row_layout:
             return combine_gather(x, L.row["gather"], self.row_layout[k])
         if self.combine_kind == "rowwise" and self.row_layout:
             return combine_rowwise_contig(
@@ -434,6 +472,14 @@ class MultigridSolver:
         sol = sol.at[interior_idx].set(sol_int)
         return distribute(sol, base_elements)
 
+    def _coarse_solve_inv(self, b0, Ainv, base_elements, interior_idx):
+        """Direct coarse solve by dense-inverse matmul (MXU-friendly)."""
+        u = copy_to_base(b0, base_elements, self.n_base_nodes)
+        sol_int = jnp.matmul(Ainv, u[interior_idx], precision=self.apply_precision)
+        sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
+        sol = sol.at[interior_idx].set(sol_int)
+        return distribute(sol, base_elements)
+
     def _coarse_solve_cg(self, b0, coeff, Ls=None):
         """Matrix-free coarse solve: CG on the level-0 duplicated layout with
         exact (first-copy weighted) dot products. Scales to large base meshes
@@ -490,10 +536,12 @@ class MultigridSolver:
         def dot(a, b):
             return jnp.vdot(a * w, b)
 
-        def prec(r):
-            # main level-0 layout (combined copies) -> global base vector ->
-            # aux finest layout in first-copy (local-contribution) form
-            r_glob = r.reshape(-1)[aux["main_first_flat"]]
+        nu = self.coarse_prec_smooth
+
+        def aux_correct(rc):
+            # combined level-0 residual -> global base vector -> aux finest
+            # layout in first-copy (local-contribution) form -> aux V-cycle
+            r_glob = rc.reshape(-1)[aux["main_first_flat"]]
             b_aux = r_glob[aux["node_map"]] * aux["aux_first_mask"]
             xs_a = tuple(jnp.zeros(s, b_aux.dtype) for s in aux_shapes)
             bs_a = (
@@ -514,6 +562,24 @@ class MultigridSolver:
             # aux copies are interface-consistent: read any (the first)
             z_glob = xs_a[-1].reshape(-1)[aux["aux_first_flat"]]
             return z_glob[base_elements] * Ls[0].boundary_mask
+
+        def prec(r):
+            # one MG cycle at level 0: Chebyshev smoothing on the EXACT
+            # operator around the sigma-averaged aux correction (symmetric,
+            # linear -> an SPD preconditioner)
+            b_loc = r * w  # combined form -> first-copy local form
+            x1 = jnp.zeros_like(r)
+            if nu > 0:
+                x1, _ = self._smooth_chebyshev(
+                    x1, b_loc, coeff, aux["lam_max0"], k=0, steps=nu, Ls=Ls
+                )
+            rc = self._combine(self._local_residual(x1, b_loc, coeff, 0, Ls), 0, Ls)
+            x1 = x1 + aux_correct(rc)
+            if nu > 0:
+                x1, _ = self._smooth_chebyshev(
+                    x1, b_loc, coeff, aux["lam_max0"], k=0, steps=nu, Ls=Ls
+                )
+            return x1
 
         b = self._constrain(self._combine(b0, 0, Ls), 0, Ls)
         x = jnp.zeros_like(b)
@@ -558,6 +624,8 @@ class MultigridSolver:
             if k == 0:
                 if self.coarse_kind == "chol":
                     xs[0] = self._coarse_solve_chol(bs[0], chol, base_elements, interior_idx)
+                elif self.coarse_kind == "inv":
+                    xs[0] = self._coarse_solve_inv(bs[0], chol, base_elements, interior_idx)
                 elif self.coarse_kind == "mg":
                     xs[0] = self._coarse_solve_mg(bs[0], coeff, chol, Ls, base_elements)
                 else:
@@ -590,7 +658,7 @@ class MultigridSolver:
 
     def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
         if chol is None:
-            assert self.coarse_kind not in ("chol", "mg"), (
+            assert self.coarse_kind not in ("chol", "inv", "mg"), (
                 "pass coarse_setup(sigma, lam) as chol"
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)

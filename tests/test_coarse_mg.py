@@ -91,6 +91,30 @@ def test_mg_coarse_matches_chol_coarse(dim, n, levels, lam):
     assert abs(norms[-1] - float(ref.residual_norm(r))) < 1e-9 * norms[0]
 
 
+def test_inv_coarse_matches_chol_coarse():
+    """coarse='inv' (dense-inverse matmul, MXU-friendly) == coarse='chol'
+    in f64 up to inverse roundoff."""
+    plan, sigma, b_np = _setup(2, 4, 3)
+    lam = 0.2
+
+    ref = MultigridSolver(plan, coarse="chol")
+    coeff = ref.coefficients(sigma, lam)
+    chol = ref.coarse_setup(sigma, lam)
+    xs, bs = ref.zero_states()
+    bs = (*bs[:-1], jnp.asarray(b_np))
+
+    inv = MultigridSolver(plan, coarse="inv")
+    setup_i = inv.coarse_setup(sigma, lam)
+    xs_i, bs_i = inv.zero_states()
+    bs_i = (*bs_i[:-1], jnp.asarray(b_np))
+
+    for _ in range(5):
+        xs, r = ref.vcycle(xs, bs, coeff, chol)
+        xs_i, r_i = inv.vcycle(xs_i, bs_i, coeff, setup_i)
+    err = float(jnp.abs(xs_i[-1] - xs[-1]).max()) / float(jnp.abs(xs[-1]).max())
+    assert err < 1e-11, err
+
+
 def test_mg_coarse_contraction_deep():
     """Deeper coarsening (m=2) still converges: n=8 3D base, dense_limit=4
     forces mesh_0 = hypercube(2)."""

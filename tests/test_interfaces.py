@@ -96,3 +96,32 @@ def test_first_copy_mask_counts(dim, n, levels):
     fine = refine_uniformly(base, times=levels - 1)
     mask = plan.levels[levels - 1].first_copy_mask
     assert int(mask.sum()) == fine.nnodes
+
+
+@pytest.mark.parametrize("dim,n,levels", [(2, 3, 4), (3, 2, 3)])
+def test_combine_forms_agree(dim, n, levels):
+    """All interface-combine implementations (flat slot segment-sum, legacy
+    gather, row-granular gather) produce the identical combined state."""
+    import jax.numpy as jnp
+
+    from homogenization_jl_tpu.ops.interfaces import (
+        combine_gather,
+        combine_gather_rows,
+        combine_interfaces,
+    )
+    from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+    plan = build_grid_plan(hypercube(dim, n), levels)
+    solver = MultigridSolver(plan, coarse="cg")
+    rng = np.random.default_rng(0)
+    for k in range(levels):
+        L = solver.levels[k]
+        x = jnp.asarray(rng.standard_normal((plan.base.nelements, plan.n_local(k))))
+        ref = combine_interfaces(x, L.slot_flat, L.slot_group, solver.n_groups[k])
+        lay = solver.row_layout[k]
+        g1 = combine_gather(x, L.row["gather"], lay)
+        g2 = combine_gather_rows(x, L.row["gather"], lay)
+        assert float(jnp.abs(g1 - ref).max()) < 1e-12
+        assert float(jnp.abs(g2 - ref).max()) < 1e-12
+        # copies of a shared DOF must be bitwise identical in every form
+        assert float(jnp.abs(g2 - g1).max()) == 0.0
