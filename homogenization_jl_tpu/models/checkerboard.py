@@ -212,7 +212,10 @@ def checkerboard_homogenization(
     seed: int | None = None,
     dtype=jnp.float64,
     coarse: str = "chol",
-    coarse_dense_limit: int = 30_000,
+    # 8k interior nodes = a 256 MB f32 dense factor and a ~10 s host-side
+    # f64 factorization; beyond that a chol coarse solve stops paying (a
+    # 29,791^2 factor is already 3.5 GB) — matches bench.py's threshold
+    coarse_dense_limit: int = 8_000,
     max_cycles: int = 1000,
     verbose: bool = False,
     return_trace: bool = False,

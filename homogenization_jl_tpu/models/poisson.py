@@ -56,9 +56,9 @@ def checkerboard_hypercube_multigrid(
     # random consistent start with zero b.c. (reference :546-549)
     L = solver.levels[-1]
     x = jnp.asarray(rng.random(xs[-1].shape), dtype=dtype)
-    from ..ops.interfaces import apply_mask, combine_interfaces
+    from ..ops.interfaces import apply_mask
 
-    x = combine_interfaces(x, L.slot_flat, L.slot_group, solver.n_groups[-1])
+    x = solver.combine(x)
     x = apply_mask(x, L.boundary_mask)
     xs = (*xs[:-1], x)
     bs = (*bs[:-1], local_unit_rhs(solver))

@@ -17,7 +17,9 @@ import numpy as np
 
 from ..fem.assembly import assemble_operator
 from ..fem.local_operators import load_vector
-from ..mesh.grid import hypercube, interior_nodes
+from ..mesh.grid import affine_maps, hypercube, interior_nodes
+from ..ops.plan import build_grid_plan
+from ..solver.multigrid import MultigridSolver
 from ..utils.fft_field import st1_conductivity
 
 
@@ -61,3 +63,59 @@ def st1_example(
 
         write_vtu(save, mesh, point_data={"x": u}, cell_data={"sigma": sigma_el})
     return mesh, u, sigma_el
+
+
+def st1_multigrid(
+    n: int = 32,
+    dim: int = 2,
+    refinements: int = 2,
+    lam: float = 1.0,
+    p: float = 1.5,
+    alpha: float = 3.0,
+    seed: int = 0,
+    max_cycles: int = 20,
+    smoothing_steps: int = 3,
+    coarse: str = "chol",
+    coarse_dense_limit: int = 8_000,
+    dtype=jnp.float64,
+    save: str | None = None,
+):
+    """st1 field solve on the *implicit fine grid* — the scalable path.
+
+    The st1 field lives on unit cells, so the base mesh is taken at the
+    field's resolution (one scalar sigma per base element, like the
+    checkerboard driver); refinement resolves the solution, not the
+    coefficient. Exercises the whole scalar-sigma implicit pipeline that the
+    reference tool (tools/generate_st1_field.jl:156-201) only ever ran
+    through an explicit global assembly.
+
+    Returns (residual_history, x_finest, solver, sigma_el).
+    """
+    base = hypercube(dim, n)
+    field = st1_conductivity(jax.random.PRNGKey(seed), n, dim, p=p, alpha=alpha)
+    sigma_el = conductivity_per_cell(base, field)
+
+    plan = build_grid_plan(base, refinements + 1)
+    if coarse == "chol" and len(plan.interior_base_nodes) > coarse_dense_limit:
+        coarse = "mg"
+    solver = MultigridSolver(
+        plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=coarse
+    )
+    coeff = solver.coefficients(sigma_el, lam)
+    setup = solver.coarse_setup(sigma_el, lam)
+
+    xs, bs = solver.zero_states()
+    b_ref = load_vector(plan.reference.levels[refinements])
+    _, _, detJ, _ = affine_maps(base)
+    bs = (*bs[:-1], jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype))
+
+    history = []
+    for _ in range(max_cycles):
+        xs, r = solver.vcycle(xs, bs, coeff, setup)
+        history.append(float(solver.residual_norm(r)))
+
+    if save:
+        from ..utils.vtk import export_solution
+
+        export_solution(save, plan, refinements, np.asarray(xs[-1]))
+    return history, xs[-1], solver, sigma_el

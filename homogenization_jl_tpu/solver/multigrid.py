@@ -109,6 +109,15 @@ class MultigridSolver:
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
 
+        # Only the selected combine form's tables go to HBM. At 190M DOFs the
+        # finest-level flat slot tables alone are ~0.8 GB and the rowwise
+        # keep mask another ~0.4 GB — shipping all three forms (as round 1
+        # did) costs more memory than the smoother's live temporaries.
+        has_layout = plan.reference.layout is not None
+        use_gather = combine in ("gather", "gather_legacy") and has_layout
+        use_rowwise = combine == "rowwise" and has_layout
+        use_flat = not (use_gather or use_rowwise)
+
         self.levels: list[LevelDevice] = []
         self.n_groups: list[int] = []
         self.row_edge_groups: list[int] = []
@@ -124,8 +133,11 @@ class MultigridSolver:
             )
             self.n_groups.append(lp.combine.n_groups)
 
-            keep = np.ones((plan.base.nelements, n_local), dtype=np.dtype(jnp.dtype(dtype).name))
-            keep[lp.combine.slot_elem, lp.combine.slot_node] = 0.0
+            if use_rowwise:
+                keep = np.ones((plan.base.nelements, n_local), dtype=bool)
+                keep[lp.combine.slot_elem, lp.combine.slot_node] = False
+            else:
+                keep = np.ones((0, 0), dtype=bool)
             if plan.reference.layout is not None:
                 _lay = plan.reference.layout[k]
                 i0 = int(
@@ -152,20 +164,26 @@ class MultigridSolver:
             row = dict(
                 keep_tail=jnp.asarray(keep[:, i0:]),
                 gather=dict(
-                    face=dev_gt(lp.gather.face),
-                    edge=dev_gt(lp.gather.edge),
-                    corner=dev_gt(lp.gather.corner),
+                    face=dev_gt(lp.gather.face) if use_gather else None,
+                    edge=dev_gt(lp.gather.edge) if use_gather else None,
+                    corner=dev_gt(lp.gather.corner) if use_gather else None,
                 ),
                 face_pairs={
                     key: (jnp.asarray(e1), jnp.asarray(e2))
                     for key, (e1, e2) in rw.face_pairs.items()
-                },
+                }
+                if use_rowwise
+                else {},
                 edge_occ=[
                     (jnp.asarray(e), jnp.asarray(g)) for e, g in rw.edge_occ
-                ],
+                ]
+                if use_rowwise
+                else [],
                 corner_occ=[
                     (jnp.asarray(e), jnp.asarray(g)) for e, g in rw.corner_occ
-                ],
+                ]
+                if use_rowwise
+                else [],
             )
             self.row_edge_groups.append(rw.n_edge_groups)
             self.row_corner_groups.append(rw.n_corner_groups)
@@ -198,10 +216,17 @@ class MultigridSolver:
             self.levels.append(
                 LevelDevice(
                     stack=jnp.asarray(ref_ops[k].stack, dtype=dtype),
-                    slot_flat=jnp.asarray(lp.combine.flat(n_local)),
-                    slot_group=jnp.asarray(lp.combine.slot_group),
-                    boundary_mask=jnp.asarray(lp.boundary_mask, dtype=dtype),
-                    first_copy_mask=jnp.asarray(lp.first_copy_mask, dtype=dtype),
+                    slot_flat=jnp.asarray(lp.combine.flat(n_local))
+                    if use_flat
+                    else jnp.zeros((0,), dtype=jnp.int32),
+                    slot_group=jnp.asarray(lp.combine.slot_group)
+                    if use_flat
+                    else jnp.zeros((0,), dtype=jnp.int32),
+                    # masks stored as bool (4-8x less HBM than the compute
+                    # dtype); the mask multiply casts on the fly and XLA
+                    # fuses the convert
+                    boundary_mask=jnp.asarray(lp.boundary_mask != 0),
+                    first_copy_mask=jnp.asarray(lp.first_copy_mask != 0),
                     P_up=P_up,
                     row=row,
                 )
@@ -674,6 +699,13 @@ class MultigridSolver:
             self.interior_idx,
             lam_max,
         )
+
+    def combine(self, x, k=None):
+        """Interface combine with the solver's configured form (public:
+        callers must not reach for level slot tables — only the selected
+        combine form's tables are resident on device)."""
+        k = self.nlevels - 1 if k is None else k
+        return self._combine(x, k)
 
     def residual_norm(self, r, k=None):
         """Norm with each fine DOF counted once (reference:

@@ -1,0 +1,108 @@
+"""Microbenchmark of the element-apply kernel at solver-realistic shapes.
+
+Measures (on the real chip): XLA loop-accumulated apply vs fused Pallas apply,
+at HIGHEST (f32, 6-pass) and HIGH (bf16x3, 3-pass) precision, with native
+(969) and 128-padded (1024) n_local. Prints one JSON line per variant with
+TFLOP/s and the %-of-roofline bookkeeping used by BASELINE.md (v5e bf16 peak
+394 TFLOP/s per the local bookkeeping: HIGHEST peak = 394/6, HIGH = 394/3).
+
+Usage: python scripts/bench_apply.py [E] [reps]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
+
+from homogenization_jl_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from homogenization_jl_tpu.fem.local_operators import build_level_operators
+from homogenization_jl_tpu.mesh.grid import hypercube
+from homogenization_jl_tpu.mesh.reference import refined_reference
+from homogenization_jl_tpu.ops.apply import element_apply
+from homogenization_jl_tpu.ops.pallas_apply import element_apply_pallas
+
+BF16_PEAK = 394e12  # v5e bookkeeping anchor (see BASELINE.md)
+
+E = int(sys.argv[1]) if len(sys.argv) > 1 else 196_608
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+nlevels = 5
+
+ref = refined_reference(3, nlevels)
+ops = build_level_operators(ref, dtype=np.float64)
+stack = np.asarray(ops[nlevels - 1].stack, dtype=np.float32)  # [P, n, n]
+P, n, _ = stack.shape
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.standard_normal((E, n)), dtype=jnp.float32)
+coeff = jnp.asarray(rng.standard_normal((E, P)), dtype=jnp.float32)
+stack_d = jnp.asarray(stack)
+
+n_pad = -(-n // 128) * 128
+xp = jnp.pad(x, ((0, 0), (0, n_pad - n)))
+stack_p = jnp.pad(stack_d, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+
+PREC = {
+    "highest": (jax.lax.Precision.HIGHEST, 6),
+    "high": (jax.lax.Precision.HIGH, 3),
+}
+
+
+def timed(fn, *args):
+    @jax.jit
+    def run(*a):
+        def body(i, y):
+            return fn(*a[:-1]) + 0.0 * y
+
+        y = jax.lax.fori_loop(0, reps, body, jnp.zeros_like(a[-1]))
+        return jnp.vdot(y[:1, :1], y[:1, :1])
+
+    float(run(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+results = []
+for prec_name, (prec, passes) in PREC.items():
+    flops = 2.0 * E * n * n * P
+    flops_pad = 2.0 * E * n_pad * n_pad * P
+    peak = BF16_PEAK / passes
+
+    dt = timed(lambda xx, cc: element_apply(xx, cc, stack_d, precision=prec), x, coeff, x)
+    results.append(
+        dict(kind="xla", prec=prec_name, n=n, ms=dt * 1e3,
+             tflops=flops / dt / 1e12, roofline=flops / dt / peak)
+    )
+
+    dtp = timed(
+        lambda xx, cc: element_apply(xx, cc, stack_p, precision=prec), xp, coeff, xp
+    )
+    results.append(
+        dict(kind="xla_pad", prec=prec_name, n=n_pad, ms=dtp * 1e3,
+             tflops=flops_pad / dtp / 1e12, roofline=flops_pad / dtp / peak,
+             useful_roofline=flops / dtp / peak)
+    )
+
+    dtk = timed(
+        lambda xx, cc: element_apply_pallas(xx, cc, stack_p), xp, coeff, xp
+    )
+    results.append(
+        dict(kind="pallas_pad", prec=prec_name if prec_name == "highest" else "highest(kernel)",
+             n=n_pad, ms=dtk * 1e3,
+             tflops=flops_pad / dtk / 1e12, roofline=flops_pad / dtk / (BF16_PEAK / 6),
+             useful_roofline=flops / dtk / (BF16_PEAK / 6))
+    )
+    if prec_name == "high":
+        break  # pallas kernel is HIGHEST internally; don't re-run
+
+for r in results:
+    print(json.dumps(r))

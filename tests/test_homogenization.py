@@ -104,8 +104,13 @@ def test_initial_rhs_matches_explicit_assembly():
     from homogenization_jl_tpu.solver.multigrid import MultigridSolver
 
     solver = MultigridSolver(plan, coarse="cg")
-    L = solver.levels[levels - 1]
-    b0c = combine_interfaces(jnp.asarray(b0), L.slot_flat, L.slot_group, solver.n_groups[levels - 1])
+    ct = plan.levels[levels - 1].combine
+    b0c = combine_interfaces(
+        jnp.asarray(b0),
+        jnp.asarray(ct.flat(plan.n_local(levels - 1))),
+        jnp.asarray(ct.slot_group),
+        ct.n_groups,
+    )
 
     J, shift, _, _ = affine_maps(base)
     refn = plan.reference.levels[levels - 1].nodes

@@ -117,7 +117,13 @@ def test_combine_forms_agree(dim, n, levels):
     for k in range(levels):
         L = solver.levels[k]
         x = jnp.asarray(rng.standard_normal((plan.base.nelements, plan.n_local(k))))
-        ref = combine_interfaces(x, L.slot_flat, L.slot_group, solver.n_groups[k])
+        ct = plan.levels[k].combine
+        ref = combine_interfaces(
+            x,
+            jnp.asarray(ct.flat(plan.n_local(k))),
+            jnp.asarray(ct.slot_group),
+            ct.n_groups,
+        )
         lay = solver.row_layout[k]
         g1 = combine_gather(x, L.row["gather"], lay)
         g2 = combine_gather_rows(x, L.row["gather"], lay)

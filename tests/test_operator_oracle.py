@@ -62,11 +62,14 @@ def test_matrix_free_matches_assembled(dim, n, levels, aniso):
     L = solver.levels[k]
 
     # consistent random x (combine makes duplicates agree)
+    ct = plan.levels[k].combine
+    slot_flat = jnp.asarray(ct.flat(plan.n_local(k)))
+    slot_group = jnp.asarray(ct.slot_group)
     x = jnp.asarray(rng.standard_normal((base.nelements, plan.n_local(k))))
-    x = combine_interfaces(x, L.slot_flat, L.slot_group, solver.n_groups[k])
+    x = combine_interfaces(x, slot_flat, slot_group, ct.n_groups)
 
     y = element_apply(x, coeff, L.stack)
-    y = combine_interfaces(y, L.slot_flat, L.slot_group, solver.n_groups[k])
+    y = combine_interfaces(y, slot_flat, slot_group, ct.n_groups)
 
     # explicit path: conductivity of each fine element = its base parent's
     mapping = _coordinate_mapping(plan, k, fine)

@@ -102,6 +102,62 @@ def test_st1_example_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "st1.vtu")
 
 
+def test_st1_multigrid_matches_direct():
+    """st1 solve on the implicit fine grid == direct solve of the explicitly
+    refined mesh with the same per-base-element field (the scalable path the
+    reference tool never had)."""
+    import scipy.sparse.linalg as spl
+
+    from homogenization_jl_tpu.fem.assembly import assemble_operator
+    from homogenization_jl_tpu.fem.local_operators import load_vector
+    from homogenization_jl_tpu.mesh.grid import affine_maps, interior_nodes
+    from homogenization_jl_tpu.mesh.refine import refine_uniformly
+    from homogenization_jl_tpu.models.st1 import (
+        conductivity_per_cell,
+        st1_multigrid,
+    )
+
+    n, dim, refinements, lam = 6, 2, 2, 1.0
+    history, x, solver, sigma_el = st1_multigrid(
+        n=n, dim=dim, refinements=refinements, lam=lam, alpha=2.0, seed=3,
+        max_cycles=14,
+    )
+    assert history[-1] < 1e-6 * history[0]
+
+    plan = solver.plan
+    base = plan.base
+    fine = refine_uniformly(base, times=refinements)
+    # fine elements inherit the parent base element's scalar sigma: look the
+    # field value up at fine-element centers (cells align with unit cells)
+    from homogenization_jl_tpu.utils.fft_field import st1_conductivity
+    import jax
+
+    field = st1_conductivity(jax.random.PRNGKey(3), n, dim, p=1.5, alpha=2.0)
+    sigma_fine = conductivity_per_cell(fine, field)
+    A = assemble_operator(fine, sigma_fine, lam)
+    b = load_vector(fine)
+    ii = interior_nodes(fine)
+    u = np.zeros(fine.nnodes)
+    u[ii] = spl.spsolve(A[np.ix_(ii, ii)].tocsc(), b[ii])
+
+    J, shift, _, _ = affine_maps(base)
+    refn = plan.reference.levels[refinements].nodes
+    allx = (np.einsum("eij,nj->eni", J, refn) + shift[:, None, :]).reshape(-1, dim)
+
+    def key(a):
+        return (
+            np.ascontiguousarray(np.round(a * 2**20).astype(np.int64))
+            .view([("", np.int64)] * dim)
+            .ravel()
+        )
+
+    fk = key(fine.nodes)
+    order = np.argsort(fk)
+    mapping = order[np.searchsorted(fk[order], key(allx))]
+    err = np.abs(u[mapping] - np.asarray(x).reshape(-1)).max()
+    assert err < 1e-6, f"solution error {err}"
+
+
 def test_multishift_demo_matches_per_shift_cg():
     from homogenization_jl_tpu.models.multishift import multishift_demo
 
