@@ -237,6 +237,19 @@ class MultigridSolver:
         self.interior_idx = jnp.asarray(plan.interior_base_nodes.astype(np.int32))
         self._np_dtype = np_dtype
 
+        # Global-assembly tables for the level-0 solve: the iterative coarse
+        # solves run on the [n_base_nodes] vector (144 KB at a 36k-node base)
+        # instead of the duplicated [E, d+1] layout (3 MB + a ~10 ms combine
+        # per operator application). Summing local contributions to global
+        # nodes is a gather + SORTED segment_sum — no scatters.
+        flat_nodes = plan.base.elements.reshape(-1)
+        perm = np.argsort(flat_nodes, kind="stable")
+        self._asm_perm = jnp.asarray(perm.astype(np.int32))
+        self._asm_node = jnp.asarray(flat_nodes[perm].astype(np.int32))
+        im = np.zeros(plan.base.nnodes, dtype=bool)
+        im[plan.interior_base_nodes] = True
+        self._interior_mask_N = jnp.asarray(im)
+
         self._power_jit = {}
 
         # base-mesh coarsening below level 0 (coarse="mg"): an auxiliary
@@ -274,7 +287,6 @@ class MultigridSolver:
             self._aux_maps = dict(
                 node_map=idx(g.node_map),
                 aux_first_flat=idx(g.aux_first_flat),
-                main_first_flat=idx(g.main_first_flat),
                 aux_first_mask=jnp.asarray(g.aux_first_mask, dtype=dtype),
             )
 
@@ -331,12 +343,24 @@ class MultigridSolver:
         # level-0 operator (the aux operator is sigma-averaged; smoothing on
         # the exact operator around the aux correction is what makes the
         # preconditioner strong under coefficient contrast)
-        lam_max0 = self.estimate_lambda_max(self.coefficients(sigma_el, lam), k=0)
+        coeff0 = self.coefficients(sigma_el, lam)
+        lam_max0 = self.estimate_lambda_max(coeff0, k=0)
+        # inverse global diagonal for the junction Chebyshev (constant per
+        # (sigma, lam) — computing it inside the smoother costs an einsum +
+        # combine per call)
+        d = jnp.einsum(
+            "ep,pn->en",
+            coeff0,
+            jnp.diagonal(self.levels[0].stack, axis1=1, axis2=2),
+        )
+        diag_g = self._to_global(d)
+        dinv_g = jnp.where(diag_g > 0, 1.0 / jnp.where(diag_g > 0, diag_g, 1.0), 0.0)
         return dict(
             coeff=coeff_a,
             chol=chol_a,
             lam_max=jnp.asarray(lam_max, self.dtype),
             lam_max0=jnp.asarray(lam_max0, self.dtype),
+            dinv_g=dinv_g,
             Ls=tuple(self.aux_solver.levels),
             base_elements=self.aux_solver.base_elements,
             interior_idx=self.aux_solver.interior_idx,
@@ -505,30 +529,50 @@ class MultigridSolver:
         sol = sol.at[interior_idx].set(sol_int)
         return distribute(sol, base_elements)
 
+    def _to_global(self, y):
+        """Sum duplicated-layout local contributions onto global base nodes:
+        [E, d+1] -> [N]. Gather by the presorted permutation + one sorted
+        segment_sum — scatter-free (TPU row scatters cost ~17x a gather)."""
+        vals = y.reshape(-1)[self._asm_perm]
+        return jax.ops.segment_sum(
+            vals, self._asm_node, num_segments=self.n_base_nodes
+        )
+
+    def _global_apply(self, u, coeff, Ls):
+        """Assembled level-0 operator on the global node vector: distribute
+        (one gather), element apply (tiny MXU matmuls), re-assemble
+        (_to_global), constrain. Same operator the duplicated-layout path
+        applies, without its interface combine."""
+        yd = element_apply(
+            u[self.base_elements], coeff, Ls[0].stack,
+            precision=self.apply_precision,
+        )
+        return self._to_global(yd) * self._interior_mask_N
+
     def _coarse_solve_cg(self, b0, coeff, Ls=None):
-        """Matrix-free coarse solve: CG on the level-0 duplicated layout with
-        exact (first-copy weighted) dot products. Scales to large base meshes
-        where a dense factorization no longer fits."""
+        """Matrix-free coarse solve: CG on the GLOBAL base-node vector.
+
+        Mathematically identical to CG on the duplicated layout with
+        first-copy dots (those dots are exactly global-vector dots and the
+        operator is the same); state is n_base_nodes floats instead of
+        [E, d+1], and each iteration is one gather + segment_sum instead of
+        an interface combine. Scales to base meshes too large to factor."""
         Ls = Ls or self.levels
-        w = Ls[0].first_copy_mask
-
-        def dot(a, b):
-            return jnp.vdot(a * w, b)
-
-        b = self._constrain(self._combine(b0, 0, Ls), 0, Ls)
+        m = self._interior_mask_N
+        b = self._to_global(b0) * m
         x = jnp.zeros_like(b)
         r = b
         p = r
-        rs = dot(r, r)
+        rs = jnp.vdot(r, r)
         eps2 = jnp.asarray(self.coarse_cg_tol, b.dtype) ** 2 * (rs + 1e-300)
 
         def body(state):
             x, r, p, rs, i = state
-            Ap = self._combine(self._constrain(self._apply_op(p, coeff, 0, Ls), 0, Ls), 0, Ls)
-            alpha = self._safe_div(rs, dot(p, Ap))
+            Ap = self._global_apply(p, coeff, Ls)
+            alpha = self._safe_div(rs, jnp.vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
-            rs_new = dot(r, r)
+            rs_new = jnp.vdot(r, r)
             p = r + self._safe_div(rs_new, rs) * p
             return x, r, p, rs_new, i + 1
 
@@ -537,40 +581,40 @@ class MultigridSolver:
             return jnp.logical_and(rs_c > eps2, i < self.coarse_cg_maxiter)
 
         x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
-        return x
+        return distribute(x, self.base_elements)
 
     def _coarse_solve_mg(self, b0, coeff, aux, Ls, base_elements):
-        """Coarse solve via CG on the exact level-0 operator, preconditioned
-        by aux V-cycle(s) on the coarsened-box hierarchy (solver/coarse.py).
+        """Coarse solve via PCG on the exact level-0 operator in the GLOBAL
+        base-node space, preconditioned by Chebyshev junction smoothing on
+        the exact operator around an aux-hierarchy V-cycle correction
+        (sigma-averaged operator on the coarsened box, solver/coarse.py).
 
         Replaces the reference's direct BaseLevel solve
         (src/multigrid.jl:74-93) when the base mesh is too large to factor.
+        Running on [n_base_nodes] (vs the duplicated [E, d+1] layout) makes
+        every PCG vector op ~20x smaller and removes the interface combine
+        from each operator application (~10 ms each at a 196k-element base —
+        this was most of the coarse-solve cost).
         """
         Ls = Ls or self.levels
-        w = Ls[0].first_copy_mask
+        m = self._interior_mask_N
         gplan = self.coarse_geom.plan
         aux_shapes = [
             (gplan.base.nelements, gplan.n_local(k)) for k in range(gplan.nlevels)
         ]
+        dinv = aux["dinv_g"]
+        lam_max0 = aux["lam_max0"]
 
-        def Aop(v):
-            return self._combine(
-                self._constrain(self._apply_op(v, coeff, 0, Ls), 0, Ls), 0, Ls
-            )
+        def Aop(u):
+            return self._global_apply(u, coeff, Ls)
 
-        def dot(a, b):
-            return jnp.vdot(a * w, b)
-
-        nu = self.coarse_prec_smooth
-
-        def aux_correct(rc):
-            # combined level-0 residual -> global base vector -> aux finest
-            # layout in first-copy (local-contribution) form -> aux V-cycle
-            r_glob = rc.reshape(-1)[aux["main_first_flat"]]
-            b_aux = r_glob[aux["node_map"]] * aux["aux_first_mask"]
-            xs_a = tuple(jnp.zeros(s, b_aux.dtype) for s in aux_shapes)
+        def aux_correct(r):
+            # global residual -> aux finest layout in local-contribution
+            # form (whole nodal value on the first aux copy) -> aux V-cycle
+            b_aux = r[aux["node_map"]] * aux["aux_first_mask"]
+            xs_a = tuple(jnp.zeros(s, r.dtype) for s in aux_shapes)
             bs_a = (
-                *(jnp.zeros(s, b_aux.dtype) for s in aux_shapes[:-1]),
+                *(jnp.zeros(s, r.dtype) for s in aux_shapes[:-1]),
                 b_aux,
             )
             for _ in range(self.coarse_prec_cycles):
@@ -585,53 +629,68 @@ class MultigridSolver:
                     aux["lam_max"],
                 )
             # aux copies are interface-consistent: read any (the first)
-            z_glob = xs_a[-1].reshape(-1)[aux["aux_first_flat"]]
-            return z_glob[base_elements] * Ls[0].boundary_mask
+            return xs_a[-1].reshape(-1)[aux["aux_first_flat"]] * m
+
+        lam_min = lam_max0 / self.cheb_ratio
+        theta = 0.5 * (lam_max0 + lam_min)
+        delta = 0.5 * (lam_max0 - lam_min)
+
+        def cheb(x, b, steps):
+            # Jacobi-preconditioned Chebyshev on the global vector (same
+            # recurrence as _smooth_chebyshev; dinv precomputed per setup)
+            r = b - Aop(x)
+            p = (1.0 / theta) * (dinv * r)
+            x = x + p
+            sig = theta / delta
+            rho = 1.0 / sig
+            for _ in range(steps - 1):
+                r = b - Aop(x)
+                rho_new = 1.0 / (2.0 * sig - rho)
+                p = rho_new * rho * p + (2.0 * rho_new / delta) * (dinv * r)
+                x = x + p
+                rho = rho_new
+            return x
+
+        nu = self.coarse_prec_smooth
 
         def prec(r):
             # one MG cycle at level 0: Chebyshev smoothing on the EXACT
             # operator around the sigma-averaged aux correction (symmetric,
             # linear -> an SPD preconditioner)
-            b_loc = r * w  # combined form -> first-copy local form
             x1 = jnp.zeros_like(r)
             if nu > 0:
-                x1, _ = self._smooth_chebyshev(
-                    x1, b_loc, coeff, aux["lam_max0"], k=0, steps=nu, Ls=Ls
-                )
-            rc = self._combine(self._local_residual(x1, b_loc, coeff, 0, Ls), 0, Ls)
-            x1 = x1 + aux_correct(rc)
+                x1 = cheb(x1, r, nu)
+            x1 = x1 + aux_correct(r - Aop(x1))
             if nu > 0:
-                x1, _ = self._smooth_chebyshev(
-                    x1, b_loc, coeff, aux["lam_max0"], k=0, steps=nu, Ls=Ls
-                )
+                x1 = cheb(x1, r, nu)
             return x1
 
-        b = self._constrain(self._combine(b0, 0, Ls), 0, Ls)
+        b = self._to_global(b0) * m
         x = jnp.zeros_like(b)
         r = b
         z = prec(r)
         p = z
-        rz = dot(r, z)
-        rs = dot(r, r)
+        rz = jnp.vdot(r, z)
+        rs = jnp.vdot(r, r)
         eps2 = jnp.asarray(self.coarse_mg_tol, b.dtype) ** 2 * (rs + 1e-300)
 
         def body(state):
             x, r, p, rz, rs, i = state
             Ap = Aop(p)
-            alpha = self._safe_div(rz, dot(p, Ap))
+            alpha = self._safe_div(rz, jnp.vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
             z = prec(r)
-            rz_new = dot(r, z)
+            rz_new = jnp.vdot(r, z)
             p = z + self._safe_div(rz_new, rz) * p
-            return x, r, p, rz_new, dot(r, r), i + 1
+            return x, r, p, rz_new, jnp.vdot(r, r), i + 1
 
         def cond(state):
             *_, rs_c, i = state
             return jnp.logical_and(rs_c > eps2, i < self.coarse_mg_maxiter)
 
         x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, rs, 0))
-        return x
+        return distribute(x, self.base_elements)
 
     def _vcycle_impl(self, xs, bs, coeff, chol, Ls, base_elements, interior_idx, lam_max=None):
         """One V-cycle over all levels; returns (xs, r_finest).

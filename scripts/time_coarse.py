@@ -1,0 +1,92 @@
+"""Microtimings of V-cycle components at the 190M-DOF bench config (TPU).
+
+Run from the repo root: python scripts/time_coarse.py [n]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
+
+from homogenization_jl_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homogenization_jl_tpu.mesh.grid import hypercube
+from homogenization_jl_tpu.models.checkerboard import (
+    conductivity_per_element,
+    generate_conductivity,
+)
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+nlevels = 5
+base = hypercube(3, n)
+rng = np.random.default_rng(0)
+field = generate_conductivity(3, n, rng)
+sigma = conductivity_per_element(base, field, np.zeros(3))
+plan = build_grid_plan(base, nlevels)
+print("plan built", flush=True)
+solver = MultigridSolver(plan, dtype=jnp.float32, coarse="mg", coarse_mg_tol=1e-2)
+print("solver built", flush=True)
+coeff = solver.coefficients(sigma, 0.0)
+aux = solver.coarse_setup(sigma, 0.0)
+print("coarse setup done", flush=True)
+Ls = tuple(solver.levels)
+E = plan.base.nelements
+
+
+def timeit(name, fn, x, reps=30):
+    """Time fn(x) inside one jitted fori_loop. The carry scalar perturbs the
+    input by s * 1e-30 and is recomputed as the FULL sum of the output —
+    a sequential dependence XLA can neither hoist out of the loop nor DCE
+    (a 0.0 * y coupling gets simplified away and the body hoisted; measured
+    14.8 "ms" for an apply whose true cost is ~100 ms)."""
+
+    @jax.jit
+    def jfn(x):
+        def body(i, s):
+            out = fn(x + s * jnp.asarray(1e-30, x.dtype))
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf) * jnp.asarray(1e-30, x.dtype)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), x.dtype))
+
+    float(jfn(x))
+    t0 = time.perf_counter()
+    float(jfn(x))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:40s} {dt * 1e3:9.3f} ms", flush=True)
+    return dt
+
+
+x0 = jnp.asarray(np.random.default_rng(1).standard_normal((E, 4)), jnp.float32)
+xt = jnp.asarray(np.random.default_rng(1).standard_normal((E, 969)), jnp.float32)
+uN = jnp.asarray(
+    np.random.default_rng(2).standard_normal((plan.base.nnodes,)), jnp.float32
+)
+
+timeit("apply finest [E,969]", lambda v: solver._apply_op(v, coeff, nlevels - 1, Ls), xt)
+timeit("combine finest [E,969]", lambda v: solver._combine(v, nlevels - 1, Ls), xt)
+timeit(
+    "smooth finest (3 CG steps)",
+    lambda v: solver._smooth_cg(jnp.zeros_like(v), v, coeff, k=nlevels - 1, steps=3, Ls=Ls)[0],
+    xt,
+    reps=10,
+)
+timeit("combine level0 [E,4]", lambda v: solver._combine(v, 0, Ls), x0)
+timeit("to_global [E,4]->[N]", lambda v: solver._to_global(v), x0)
+timeit("global apply [N]", lambda u: solver._global_apply(u, coeff, Ls), uN)
+timeit(
+    "mg coarse solve tol=1e-2",
+    lambda v: solver._coarse_solve_mg(v, coeff, aux, Ls, solver.base_elements),
+    x0,
+    reps=10,
+)
