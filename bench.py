@@ -62,14 +62,21 @@ def main():
         "BENCH_COARSE",
         "chol" if len(plan.interior_base_nodes) <= 8000 else "mg",
     )
+    # cg_exact: exact-dot CG smoothing, one combine per step, restriction
+    # straight from the maintained local residual (same V-cycle quality as
+    # the parity smoother — tests/test_multigrid.py — at lower cost)
+    smoother = os.environ.get("BENCH_SMOOTHER", "cg_exact")
     solver = MultigridSolver(
         plan,
         dtype=dtype,
         coarse=coarse,
+        smoother=smoother,
         apply_precision=precision,
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
-        coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 1e-6)),
+        # 1e-2 keeps the measured 12-cycle contraction unchanged vs 1e-6
+        # (PERFORMANCE.md round 2) — MG only needs a modest coarse solve
+        coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 1e-2)),
     )
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_setup(sigma, 0.0)
@@ -133,6 +140,7 @@ def main():
                     "n_local": plan.n_local(nlevels - 1),
                     "levels": nlevels,
                     "coarse": coarse,
+                    "smoother": smoother,
                     "dtype": "float32",
                     "apply_precision": precision,
                     "device": str(jax.devices()[0]),

@@ -1,0 +1,391 @@
+"""Structured-mesh fast path for the interface combine (device, JAX).
+
+On a full-box lexicographic hypercube base (the flagship/benchmark geometry:
+``hypercube(d, n)``, elements ordered cube-major with ``ept`` = 2 (2D) / 6
+(3D) simplices per cube, identical split in every cube), the interface
+topology is TRANSLATION INVARIANT: the owners of every shared face/edge/
+corner group sit at fixed (cube-offset, simplex-type, local-cell) positions
+relative to the group's lattice anchor.
+
+The general combine (ops/interfaces.py::combine_gather_rows) is gather-based
+and therefore DESCRIPTOR-RATE bound on TPU (~11 ns per gathered row; the
+~5.9M narrow edge/corner rows at a 196k-element base cost ~66 ms per combine
+— measured, PERFORMANCE.md round 2). This module replaces every gather with
+static SLICES of the state viewed as ``[n]*d + [ept, n_local]``:
+
+    sums[orbit]   = sum over the orbit's (delta, t, l) pattern of
+                    Xpad[p + delta, t, cols(l)]          (shifted slice-adds)
+    combined[t,l] = sums[orbit(t, l)][c - delta(t, l)]   (one slice each)
+
+— pure contiguous copies at HBM bandwidth, no per-row descriptors.
+
+The orbit patterns are NOT hand-derived from the Kuhn-split geometry: they
+are extracted (and cross-validated) from the general gather tables the plan
+already builds, so the fast path provably computes the same sums. Boundary
+groups fall out automatically: their missing out-of-range owners read
+zero-padding, which is exactly the partial sum the general path computes.
+(Reference baseline for the operation: broadcast_interfaces!,
+src/implicit_fine_grid.jl:209-328.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Orbit:
+    """One translation-invariant family of interface groups."""
+
+    pattern: tuple  # ((delta (d-tuple), t, l), ...) — the owners
+    p_min: tuple  # componentwise anchor range over this orbit's groups
+    p_max: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredCombine:
+    """Static shift rules for one level of one plan."""
+
+    n: int
+    d: int
+    ept: int
+    n_local: int
+    # per class: (orbits, rebuild) with rebuild[(t, l)] = (orbit_idx, delta)
+    classes: dict  # name -> (orbits: list[Orbit], rebuild: dict, offsets, width)
+    pad: int  # halo padding applied to the state view
+
+
+def _cube_coords(e: np.ndarray, n: int, d: int, ept: int):
+    cube = e // ept
+    t = e % ept
+    out = np.empty((len(e), d), dtype=np.int64)
+    for k in range(d - 1, -1, -1):
+        out[:, k] = cube % n
+        cube = cube // n
+    return out, t
+
+
+def detect_structured(base) -> tuple | None:
+    """(n, ept) if ``base`` is a lexicographic full-box hypercube mesh in
+    generator order, else None."""
+    from ..solver.coarse import detect_box
+
+    box = detect_box(base)
+    if box is None:
+        return None
+    origin, n, h = box
+    d = base.dim
+    ept = 2 if d == 2 else 6
+    # verify cube-major element order: centroid of element e must lie in
+    # cube unflatten(e // ept)
+    centers = base.nodes[base.elements].mean(axis=1)
+    cube_of = np.floor((centers - origin[None, :]) / h).astype(np.int64)
+    cube_of = np.clip(cube_of, 0, n - 1)
+    e = np.arange(base.nelements)
+    expect, _ = _cube_coords(e, n, d, ept)
+    if not np.array_equal(cube_of, expect):
+        return None
+    # verify identical per-cube split: node pattern of cube 0 replicated
+    nid_stride = np.array([(n + 1) ** (d - 1 - k) for k in range(d)])
+    first = base.elements[:ept]
+    rel0 = np.sort(first.reshape(-1))
+    for c in (1, base.nelements // ept - 1):
+        blk = base.elements[c * ept : (c + 1) * ept]
+        off = (expect[c * ept] * nid_stride).sum()
+        if not np.array_equal(np.sort(blk.reshape(-1)) - off, rel0):
+            return None
+        if not np.array_equal(blk - blk.min(), first - first.min()):
+            return None
+    return n, ept
+
+
+def build_structured_combine(plan, k: int) -> StructuredCombine | None:
+    """Derive the shift rules for level ``k`` from the general gather
+    tables, or None when the base is not a structured box."""
+    base = plan.base
+    det = detect_structured(base)
+    if det is None or plan.reference.layout is None:
+        return None
+    n, ept = det
+    d = base.dim
+    lp = plan.levels[k]
+    lay = plan.reference.layout[k]
+    n_local = plan.n_local(k)
+
+    class_specs = []
+    if lp.gather.face is not None:
+        class_specs.append(("face", lp.gather.face, lay.face_offsets, lay.npf))
+    if lp.gather.edge is not None and lay.npe > 0:
+        class_specs.append(("edge", lp.gather.edge, lay.edge_offsets, lay.npe))
+    if lp.gather.corner is not None:
+        class_specs.append(("corner", lp.gather.corner, lay.corner_cols, 1))
+
+    classes = {}
+    max_abs_delta = 1
+    for name, (oe, ol, om, gmap), offsets, width in class_specs:
+        G, M = oe.shape
+        valid = om > 0
+        c_all, t_all = _cube_coords(oe.reshape(-1).astype(np.int64), n, d, ept)
+        c_all = c_all.reshape(G, M, d)
+        t_all = t_all.reshape(G, M)
+        l_all = ol.astype(np.int64)
+
+        counts = valid.sum(axis=1)
+        # canonical per-group pattern key relative to the min owner cube
+        a_min = np.where(valid[:, :, None], c_all, np.iinfo(np.int64).max).min(axis=1)
+        delta = c_all - a_min[:, None, :]
+        # encode (delta in [0..3]^d, t, l) as one small int; invalid -> big
+        code = np.zeros((G, M), dtype=np.int64)
+        for kk in range(d):
+            dk = delta[:, :, kk]
+            assert ((dk >= 0) & (dk <= 3) | ~valid).all()
+            code = code * 4 + np.where(valid, dk, 0)
+        code = (code * ept + np.where(valid, t_all, 0)) * 64 + np.where(
+            valid, l_all, 0
+        )
+        code = np.where(valid, code, np.iinfo(np.int64).max)
+        code_sorted = np.sort(code, axis=1)  # valid codes first, sentinels last
+
+        # valence can legitimately differ between orbits (e.g. axis edges vs
+        # the cube diagonal): peel orbits off in decreasing valence until
+        # every group is classified. Interior (full-valence) groups define
+        # each orbit's pattern; lower-valence boundary groups attach to an
+        # existing orbit when their owners are exactly the in-range part of
+        # its pattern — which is also the proof that zero-padded shifts
+        # reproduce their partial sums.
+        orbit_patterns: list[list] = []
+        orbit_of = np.full(G, -1, dtype=np.int64)
+        anchor = np.zeros((G, d), dtype=np.int64)
+
+        def decode(cd):
+            l = cd % 64
+            cd //= 64
+            t = cd % ept
+            cd //= ept
+            dl = []
+            for _ in range(d):
+                dl.append(cd % 4)
+                cd //= 4
+            return tuple(reversed(dl)), int(t), int(l)
+
+        remaining = np.arange(G)
+        while len(remaining):
+            cnt_r = counts[remaining]
+            top = cnt_r.max()
+            cand = remaining[cnt_r == top]
+            # attach to existing orbits first (a boundary group of a
+            # high-valence orbit can tie an interior group of a lower one)
+            attached = np.zeros(len(cand), dtype=bool)
+            for oi, pat in enumerate(orbit_patterns):
+                att = _try_attach(
+                    cand, c_all, t_all, l_all, valid, pat, n, orbit_of, anchor, oi
+                )
+                attached |= att
+            todo = cand[~attached]
+            if len(todo):
+                rows_t = code_sorted[todo]
+                uniq2, inv2 = np.unique(rows_t, axis=0, return_inverse=True)
+                for ui, u in enumerate(uniq2):
+                    pat = [decode(int(cd)) for cd in u if cd != np.iinfo(np.int64).max]
+                    oi = len(orbit_patterns)
+                    orbit_patterns.append(pat)
+                    grp = todo[inv2 == ui]
+                    ok = _try_attach(
+                        grp, c_all, t_all, l_all, valid, pat, n, orbit_of, anchor, oi
+                    )
+                    assert ok.all(), f"{name}: self-attach failed"
+            new_remaining = remaining[orbit_of[remaining] < 0]
+            assert len(new_remaining) < len(remaining), (
+                f"{name}: no classification progress ({len(remaining)} left)"
+            )
+            remaining = new_remaining
+
+        # rebuild map: every (t, l) belongs to exactly one (orbit, delta)
+        rebuild: dict = {}
+        for oi, pat in enumerate(orbit_patterns):
+            for dlt, t, l in pat:
+                key = (t, l)
+                val = (oi, dlt)
+                assert rebuild.get(key, val) == val, (
+                    f"{name}: ({t},{l}) in two orbits"
+                )
+                rebuild[key] = val
+        L = gmap.shape[1]
+        assert len(rebuild) == ept * L, (
+            f"{name}: rebuild covers {len(rebuild)} != {ept * L} cells"
+        )
+
+        # cross-validate: every group's owners == pattern ∩ range, and gmap
+        # agrees with the anchor arithmetic
+        _validate(
+            name, G, M, c_all, t_all, l_all, valid, orbit_of, anchor,
+            orbit_patterns, n, gmap, ept,
+        )
+
+        orbits = []
+        for oi, pat in enumerate(orbit_patterns):
+            sel = orbit_of == oi
+            p = anchor[sel]
+            orbits.append(
+                Orbit(
+                    pattern=tuple((tuple(int(x) for x in dlt), int(t), int(l)) for dlt, t, l in pat),
+                    p_min=tuple(int(v) for v in p.min(axis=0)),
+                    p_max=tuple(int(v) for v in p.max(axis=0)),
+                )
+            )
+            for dlt, _, _ in pat:
+                max_abs_delta = max(max_abs_delta, *(abs(int(x)) for x in dlt))
+
+        classes[name] = (orbits, rebuild, tuple(int(o) for o in offsets), int(width))
+
+    return StructuredCombine(
+        n=n, d=d, ept=ept, n_local=n_local, classes=classes, pad=max_abs_delta
+    )
+
+
+def _try_attach(groups, c_all, t_all, l_all, valid, pat, n, orbit_of, anchor, oi):
+    """Vectorized: attach each group in ``groups`` to orbit ``pat`` if its
+    owners are exactly the pattern entries whose position lands in range.
+    Returns a bool mask over ``groups``; updates orbit_of/anchor in place."""
+    d = c_all.shape[2]
+    pat_map = {(t, l): np.array(dlt) for dlt, t, l in pat}
+    nG = len(groups)
+    ok = np.ones(nG, dtype=bool)
+    anch = np.full((nG, d), np.iinfo(np.int64).min)
+    have = np.zeros(nG, dtype=np.int64)
+    M = c_all.shape[1]
+    for j in range(M):
+        v = valid[groups, j]
+        tj = t_all[groups, j]
+        lj = l_all[groups, j]
+        cj = c_all[groups, j]
+        dlt = np.full((nG, d), np.iinfo(np.int64).min)
+        known = np.zeros(nG, dtype=bool)
+        for (t, l), dv in pat_map.items():
+            m = v & (tj == t) & (lj == l)
+            dlt[m] = dv
+            known[m] = True
+        ok &= ~v | known
+        imp = cj - dlt
+        first = v & known & (anch[:, 0] == np.iinfo(np.int64).min)
+        anch[first] = imp[first]
+        same = (~(v & known)) | (imp == anch).all(axis=1)
+        ok &= same
+        have += (v & known).astype(np.int64)
+    # all pattern entries within range must be present
+    exp = np.zeros(nG, dtype=np.int64)
+    for (t, l), dv in pat_map.items():
+        pos = anch + dv[None, :]
+        inside = ((pos >= 0) & (pos < n)).all(axis=1)
+        exp += inside.astype(np.int64)
+    ok &= have == exp
+    ok &= anch[:, 0] != np.iinfo(np.int64).min
+    g_ok = groups[ok]
+    fresh = orbit_of[g_ok] < 0
+    orbit_of[g_ok[fresh]] = oi
+    anchor[g_ok[fresh]] = anch[ok][fresh]
+    return ok
+
+
+def _validate(
+    name, G, M, c_all, t_all, l_all, valid, orbit_of, anchor, orbit_patterns,
+    n, gmap, ept,
+):
+    """Sampled check that anchor arithmetic reproduces gmap exactly."""
+    E, L = gmap.shape
+    d = c_all.shape[2]
+    e = np.arange(E)
+    c_e, t_e = _cube_coords(e, n, d, ept)
+    # group lookup keyed by (orbit, flattened anchor)
+    flat_anchor = np.zeros(G, dtype=np.int64)
+    for kk in range(d):
+        flat_anchor = flat_anchor * (n + 3) + (anchor[:, kk] + 1)
+    key = orbit_of * (n + 3) ** d + flat_anchor
+    order = np.argsort(key)
+    key_sorted = key[order]
+    assert (np.diff(key_sorted) > 0).all(), f"{name}: duplicate (orbit, anchor)"
+    rebuild = {}
+    for oi, pat in enumerate(orbit_patterns):
+        for dlt, t, l in pat:
+            rebuild[(t, l)] = (oi, np.asarray(dlt))
+    rng = np.random.default_rng(0)
+    sample = rng.choice(E * L, size=min(4096, E * L), replace=False)
+    for s in sample:
+        ee, ll = int(s // L), int(s % L)
+        oi, dlt = rebuild[(int(t_e[ee]), ll)]
+        p = c_e[ee] - dlt
+        fa = 0
+        for kk in range(d):
+            fa = fa * (n + 3) + (int(p[kk]) + 1)
+        q = oi * (n + 3) ** d + fa
+        pos = np.searchsorted(key_sorted, q)
+        assert pos < G and key_sorted[pos] == q, (
+            f"{name}: no group at orbit {oi} anchor {p}"
+        )
+        assert order[pos] == gmap[ee, ll], f"{name}: gmap mismatch at ({ee},{ll})"
+
+
+# --------------------------------------------------------------------- #
+# device combine
+# --------------------------------------------------------------------- #
+def combine_structured(x, sc: StructuredCombine, lay: dict):
+    """Interface combine via shifted slice-adds (see module docstring).
+
+    x: [E, n_local] with E = ept * n^d in cube-major order. Returns the
+    combined state in the same layout (identical values to
+    combine_gather_rows; tests assert exact agreement in f64).
+    """
+    n, d, ept, pad = sc.n, sc.d, sc.ept, sc.pad
+    E, n_local = x.shape
+    X = x.reshape((n,) * d + (ept, n_local))
+    pad_widths = tuple((pad, pad) for _ in range(d)) + ((0, 0), (0, 0))
+    Xp = jnp.pad(X, pad_widths)
+
+    i0 = lay["iface_start"]
+    parts = [x[:, :i0]] if i0 > 0 else []
+
+    def grid_slice(arr, lo, hi, extra):
+        """arr[lo0:hi0, lo1:hi1, (lo2:hi2,) *extra] with static bounds."""
+        idx = tuple(slice(int(l), int(h)) for l, h in zip(lo, hi)) + extra
+        return arr[idx]
+
+    for name in ("face", "edge", "corner"):
+        if name not in sc.classes:
+            continue
+        orbits, rebuild, offsets, width = sc.classes[name]
+        Lc = len(offsets)
+        c0 = min(offsets)
+
+        sums = []
+        for ob in orbits:
+            p_lo = np.array(ob.p_min)
+            p_hi = np.array(ob.p_max) + 1
+            acc = None
+            for dlt, t, l in ob.pattern:
+                col = offsets[l]
+                lo = p_lo + np.array(dlt) + pad
+                hi = p_hi + np.array(dlt) + pad
+                piece = grid_slice(
+                    Xp, lo, hi, (t, slice(col, col + width))
+                )
+                acc = piece if acc is None else acc + piece
+            sums.append((p_lo, acc))
+
+        # rebuild: combined[c, t, cols_l] = sums[orbit][c - delta]
+        out_t = []
+        for t in range(ept):
+            cols_l = []
+            for l in range(Lc):
+                oi, dlt = rebuild[(t, l)]
+                p_lo, acc = sums[oi]
+                lo = -np.array(dlt) - p_lo
+                hi = lo + n
+                cols_l.append(grid_slice(acc, lo, hi, ()))
+            out_t.append(jnp.stack(cols_l, axis=d))  # [n..., L, width]
+        blk = jnp.stack(out_t, axis=d)  # [n..., ept, L, width]
+        parts.append(blk.reshape(E, Lc * width))
+
+    return jnp.concatenate(parts, axis=1)

@@ -75,7 +75,7 @@ class MultigridSolver:
         coarse: str = "chol",
         coarse_cg_tol: float = 1e-12,
         coarse_cg_maxiter: int = 500,
-        combine: str = "gather",
+        combine: str = "auto",
         apply_precision=None,
         smoother: str = "cg",
         cheb_ratio: float = 30.0,
@@ -97,7 +97,6 @@ class MultigridSolver:
         self.coarse_mg_maxiter = coarse_mg_maxiter
         self.coarse_prec_cycles = coarse_prec_cycles
         self.coarse_prec_smooth = coarse_prec_smooth
-        self.combine_kind = combine
         self.smoother = smoother
         self.cheb_ratio = cheb_ratio
         self.apply_precision = (
@@ -109,6 +108,35 @@ class MultigridSolver:
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
 
+        # combine="auto": on a lexicographic full-box hypercube base, the
+        # structured fast path (ops/structured.py) replaces every gather
+        # with shifted slice-adds — descriptor-free, ~20x faster at a 196k-
+        # element base, and needs NO device index tables at all. Other
+        # meshes (e.g. the driver's shrunken prefix domains) fall back to
+        # the gather form.
+        self.structured = None
+        if combine in ("auto", "structured"):
+            from ..ops.structured import build_structured_combine
+
+            sc0 = (
+                build_structured_combine(plan, 0)
+                if plan.reference.layout is not None
+                else None
+            )
+            if sc0 is not None:
+                self.structured = [sc0] + [
+                    build_structured_combine(plan, k)
+                    for k in range(1, self.nlevels)
+                ]
+                combine = "structured"
+            else:
+                assert combine != "structured", (
+                    "combine='structured' requires a lexicographic full-box "
+                    "hypercube base mesh; use combine='gather'"
+                )
+                combine = "gather"
+        self.combine_kind = combine
+
         # Only the selected combine form's tables go to HBM. At 190M DOFs the
         # finest-level flat slot tables alone are ~0.8 GB and the rowwise
         # keep mask another ~0.4 GB — shipping all three forms (as round 1
@@ -116,7 +144,7 @@ class MultigridSolver:
         has_layout = plan.reference.layout is not None
         use_gather = combine in ("gather", "gather_legacy") and has_layout
         use_rowwise = combine == "rowwise" and has_layout
-        use_flat = not (use_gather or use_rowwise)
+        use_flat = not (use_gather or use_rowwise or combine == "structured")
 
         self.levels: list[LevelDevice] = []
         self.n_groups: list[int] = []
@@ -372,6 +400,10 @@ class MultigridSolver:
     # ------------------------------------------------------------------ #
     def _combine(self, x, k, Ls=None):
         L = (Ls or self.levels)[k]
+        if self.combine_kind == "structured":
+            from ..ops.structured import combine_structured
+
+            return combine_structured(x, self.structured[k], self.row_layout[k])
         if self.combine_kind == "gather" and self.row_layout:
             return combine_gather_rows(x, L.row["gather"], self.row_layout[k])
         if self.combine_kind == "gather_legacy" and self.row_layout:
@@ -510,6 +542,40 @@ class MultigridSolver:
             p = r + self._safe_div(rs_new, rs) * p
             rs = rs_new
         return x, r
+
+    def _smooth_cg_exact(self, x, b, coeff, *, k, steps, Ls=None):
+        """CG smoothing with exact dots and ONE combine per step.
+
+        Two identities make this cheaper than the parity smoother
+        (_smooth_cg) without changing the math being approximated:
+          * for an interface-consistent direction p, the energy splits per
+            element: p'Ap = sum over ALL slots of p * (A_local p) — so Ap
+            never needs combining;
+          * the local residual updates incrementally (r_loc -= alpha *
+            A_local p), so the combined residual is ONE combine per step and
+            the final r_loc is exactly what the V-cycle restricts —
+            eliminating the separate local_residual apply.
+        Dots are first-copy weighted (exact), unlike the reference's
+        duplicated-DOF dots (homogenized_coefficients.jl:136-139).
+        Returns (x, r_loc).
+        """
+        Ls_ = Ls or self.levels
+        w = Ls_[k].first_copy_mask
+        r_loc = self._local_residual(x, b, coeff, k, Ls)
+        rc = self._combine(r_loc, k, Ls)
+        rs = jnp.vdot(rc * w, rc)
+        p = rc
+        for i in range(steps):
+            Ap_loc = self._constrain(self._apply_op(p, coeff, k, Ls), k, Ls)
+            alpha = self._safe_div(rs, jnp.vdot(p, Ap_loc))
+            x = x + alpha * p
+            r_loc = r_loc - alpha * Ap_loc
+            if i + 1 < steps:
+                rc = self._combine(r_loc, k, Ls)
+                rs_new = jnp.vdot(rc * w, rc)
+                p = rc + self._safe_div(rs_new, rs) * p
+                rs = rs_new
+        return x, r_loc
 
     def _coarse_solve_chol(self, b0, chol, base_elements, interior_idx):
         """Direct coarse solve (reference: vcycle! k==1 branch,
@@ -703,6 +769,7 @@ class MultigridSolver:
         xs = list(xs)
         bs = list(bs)
         top = self.nlevels - 1
+        exact = self.smoother == "cg_exact"
 
         def descend(k):
             if k == 0:
@@ -716,12 +783,24 @@ class MultigridSolver:
                     xs[0] = self._coarse_solve_cg(bs[0], coeff, Ls)
                 return None
             steps = self.smoothing_steps if k == top else self.coarse_smoothing_steps
-            x, r = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
-            r_local = self._local_residual(x, bs[k], coeff, k, Ls)
+            if exact:
+                # cg_exact maintains the local residual itself: restriction
+                # reads it directly, skipping the extra local_residual apply
+                # the reference structure pays (src/multigrid.jl:97-102)
+                x, r_local = self._smooth_cg_exact(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls)
+            else:
+                x, _ = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
+                r_local = self._local_residual(x, bs[k], coeff, k, Ls)
             bs[k - 1] = restrict(r_local, Ls[k].P_up)
             xs[k - 1] = jnp.zeros_like(xs[k - 1])
             descend(k - 1)
             x = prolong_add(x, xs[k - 1], Ls[k].P_up)
+            if exact:
+                x, r_local = self._smooth_cg_exact(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
+                xs[k] = x
+                # only the finest residual is consumed (combined, for
+                # reporting); lower post-smooth residuals are dead values
+                return self._combine(r_local, k, Ls) if k == top else None
             x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
             xs[k] = x
             return r

@@ -58,18 +58,22 @@ PREC = {
 }
 
 
-def timed(fn, *args):
+def timed(fn, x, c):
+    """Sequential-dependence harness: the carry perturbs the input by
+    s * 1e-30 and is recomputed from the full output sum, so XLA can neither
+    hoist the body out of the loop nor dead-code-eliminate it."""
+
     @jax.jit
-    def run(*a):
-        def body(i, y):
-            return fn(*a[:-1]) + 0.0 * y
+    def run(x, c):
+        def body(i, s):
+            y = fn(x + s * jnp.asarray(1e-30, x.dtype), c)
+            return jnp.sum(y) * jnp.asarray(1e-30, x.dtype)
 
-        y = jax.lax.fori_loop(0, reps, body, jnp.zeros_like(a[-1]))
-        return jnp.vdot(y[:1, :1], y[:1, :1])
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), x.dtype))
 
-    float(run(*args))  # compile + warm
+    float(run(x, c))  # compile + warm
     t0 = time.perf_counter()
-    float(run(*args))
+    float(run(x, c))
     return (time.perf_counter() - t0) / reps
 
 
@@ -79,32 +83,31 @@ for prec_name, (prec, passes) in PREC.items():
     flops_pad = 2.0 * E * n_pad * n_pad * P
     peak = BF16_PEAK / passes
 
-    dt = timed(lambda xx, cc: element_apply(xx, cc, stack_d, precision=prec), x, coeff, x)
+    dt = timed(lambda xx, cc: element_apply(xx, cc, stack_d, precision=prec), x, coeff)
     results.append(
         dict(kind="xla", prec=prec_name, n=n, ms=dt * 1e3,
              tflops=flops / dt / 1e12, roofline=flops / dt / peak)
     )
+    print(json.dumps(results[-1]), flush=True)
 
     dtp = timed(
-        lambda xx, cc: element_apply(xx, cc, stack_p, precision=prec), xp, coeff, xp
+        lambda xx, cc: element_apply(xx, cc, stack_p, precision=prec), xp, coeff
     )
     results.append(
         dict(kind="xla_pad", prec=prec_name, n=n_pad, ms=dtp * 1e3,
              tflops=flops_pad / dtp / 1e12, roofline=flops_pad / dtp / peak,
              useful_roofline=flops / dtp / peak)
     )
+    print(json.dumps(results[-1]), flush=True)
 
-    dtk = timed(
-        lambda xx, cc: element_apply_pallas(xx, cc, stack_p), xp, coeff, xp
-    )
-    results.append(
-        dict(kind="pallas_pad", prec=prec_name if prec_name == "highest" else "highest(kernel)",
-             n=n_pad, ms=dtk * 1e3,
-             tflops=flops_pad / dtk / 1e12, roofline=flops_pad / dtk / (BF16_PEAK / 6),
-             useful_roofline=flops / dtk / (BF16_PEAK / 6))
-    )
-    if prec_name == "high":
-        break  # pallas kernel is HIGHEST internally; don't re-run
+    if prec_name == "highest":
+        dtk = timed(
+            lambda xx, cc: element_apply_pallas(xx, cc, stack_p), xp, coeff
+        )
+        results.append(
+            dict(kind="pallas_pad", prec="highest", n=n_pad, ms=dtk * 1e3,
+                 tflops=flops_pad / dtk / 1e12,
+                 roofline=flops_pad / dtk / (BF16_PEAK / 6))
+        )
+        print(json.dumps(results[-1]), flush=True)
 
-for r in results:
-    print(json.dumps(r))

@@ -111,8 +111,13 @@ def test_combine_forms_agree(dim, n, levels):
     )
     from homogenization_jl_tpu.solver.multigrid import MultigridSolver
 
+    from homogenization_jl_tpu.ops.structured import (
+        build_structured_combine,
+        combine_structured,
+    )
+
     plan = build_grid_plan(hypercube(dim, n), levels)
-    solver = MultigridSolver(plan, coarse="cg")
+    solver = MultigridSolver(plan, coarse="cg", combine="gather")
     rng = np.random.default_rng(0)
     for k in range(levels):
         L = solver.levels[k]
@@ -127,7 +132,11 @@ def test_combine_forms_agree(dim, n, levels):
         lay = solver.row_layout[k]
         g1 = combine_gather(x, L.row["gather"], lay)
         g2 = combine_gather_rows(x, L.row["gather"], lay)
+        sc = build_structured_combine(plan, k)
+        assert sc is not None
+        g3 = combine_structured(x, sc, lay)
         assert float(jnp.abs(g1 - ref).max()) < 1e-12
         assert float(jnp.abs(g2 - ref).max()) < 1e-12
+        assert float(jnp.abs(g3 - ref).max()) < 1e-12
         # copies of a shared DOF must be bitwise identical in every form
         assert float(jnp.abs(g2 - g1).max()) == 0.0

@@ -91,3 +91,33 @@ def test_baseline_config1_2d_poisson_to_1e8():
             break
     assert history[-1] <= 1e-8, history[-5:]
     assert len(history) <= 30, f"too many cycles: {len(history)}"
+
+
+def test_cg_exact_smoother_matches_parity_cg():
+    """smoother='cg_exact' (exact dots, one combine per step, restriction
+    from the maintained local residual) solves the same system to the same
+    floor as the reference-parity CG smoother."""
+    import jax.numpy as jnp
+    from homogenization_jl_tpu.models.poisson import local_unit_rhs
+
+    base = hypercube(2, 6)
+    rng = np.random.default_rng(5)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 2))
+    plan = build_grid_plan(base, 3)
+
+    sols = {}
+    for smoother in ("cg", "cg_exact"):
+        solver = MultigridSolver(plan, smoother=smoother)
+        coeff = solver.coefficients(sigma, 0.0)
+        chol = solver.coarse_cholesky(sigma, 0.0)
+        xs, bs = solver.zero_states()
+        bs = (*bs[:-1], local_unit_rhs(solver))
+        hist = []
+        for _ in range(18):
+            xs, r = solver.vcycle(xs, bs, coeff, chol)
+            hist.append(float(solver.residual_norm(r)))
+        assert hist[-1] < 1e-8 * hist[0], (smoother, hist)
+        sols[smoother] = np.asarray(xs[-1])
+
+    err = np.abs(sols["cg"] - sols["cg_exact"]).max()
+    assert err < 1e-9, f"solutions diverge: {err}"
