@@ -48,7 +48,11 @@ def main():
     precision = os.environ.get("BENCH_PRECISION", "highest")
     dtype = jnp.float32
 
-    base = hypercube(dim, n)
+    # type-major element order: each simplex type's rows are contiguous, so
+    # the structured combine slices per-type lattice blocks as views and
+    # reassembles by row-concat (the cube-major interleave stack pads 6->8
+    # on TPU tiles and was the peak allocation at 643M DOFs)
+    base = hypercube(dim, n, order=os.environ.get("BENCH_ORDER", "type"))
     rng = np.random.default_rng(0)
     field = generate_conductivity(dim, n, rng)
     sigma = conductivity_per_element(base, field, np.zeros(dim))
@@ -80,6 +84,11 @@ def main():
     )
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_setup(sigma, 0.0)
+    lam_max = (
+        jnp.asarray(solver.estimate_lambda_max(coeff), dtype)
+        if smoother == "chebyshev"
+        else None
+    )
     b_ref = load_vector(plan.reference.levels[nlevels - 1])
     _, _, detJ, _ = affine_maps(base)
     b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
@@ -99,15 +108,18 @@ def main():
     # rebinds xs to the returned (donated-into) arrays.
     @partial(jax.jit, donate_argnums=(0,))
     def run(xs, bs, coeff, chol, Ls, base_elements, interior_idx, n):
+        # carry the residual NORM through the loop, not the residual array —
+        # a loop-carried [E, n_local] buffer is ~1.9 GB at 500M DOFs
         def body(i, state):
             xs, _ = state
-            return solver._vcycle_impl(
-                xs, bs, coeff, chol, Ls, base_elements, interior_idx
+            xs, r = solver._vcycle_impl(
+                xs, bs, coeff, chol, Ls, base_elements, interior_idx, lam_max
             )
+            rr = r * Ls[-1].first_copy_mask
+            return xs, jnp.vdot(rr, rr)
 
-        xs, r = jax.lax.fori_loop(0, n, body, (xs, jnp.zeros_like(xs[-1])))
-        rr = r * Ls[-1].first_copy_mask
-        return xs, jnp.sqrt(jnp.vdot(rr, rr))
+        xs, rsq = jax.lax.fori_loop(0, n, body, (xs, jnp.zeros((), dtype)))
+        return xs, jnp.sqrt(rsq)
 
     def timed(n):
         nonlocal xs

@@ -83,7 +83,10 @@ def reference_simplex(dim: int, dtype=np.float64) -> Mesh:
     return Mesh(nodes, elements)
 
 
-def hypercube(dim: int, n: int, scale: float = 1.0, origin=None, dtype=np.float64) -> Mesh:
+def hypercube(
+    dim: int, n: int, scale: float = 1.0, origin=None, dtype=np.float64,
+    order: str = "cube",
+) -> Mesh:
     """Uniform simplicial mesh of an n^dim hypercube.
 
     2D: each square -> 2 triangles (reference: src/tri/generate_grid.jl:6-35).
@@ -91,7 +94,12 @@ def hypercube(dim: int, n: int, scale: float = 1.0, origin=None, dtype=np.float6
     aligned with the unit grid under uniform refinement (reference:
     src/tet/generate_grid.jl:22-40 and the comment at :32-33).
 
-    Element rows come out sorted ascending.
+    Element rows come out sorted ascending. ``order``: "cube" interleaves the
+    2/6 simplices of each cube (e = cube * ept + t); "type" groups elements
+    by simplex type (e = t * n^dim + cube) — the layout the structured
+    interface combine prefers (each type's rows are then contiguous, so its
+    per-type lattice blocks are plain slices and the combined state
+    reassembles with no interleaving stack; see ops/structured.py).
     """
     if origin is None:
         origin = np.zeros(dim)
@@ -144,6 +152,16 @@ def hypercube(dim: int, n: int, scale: float = 1.0, origin=None, dtype=np.float6
         elements = np.sort(tets, axis=1)
     else:
         raise ValueError(f"dim must be 2 or 3, got {dim}")
+
+    if order == "type":
+        ept = 2 if dim == 2 else 6
+        elements = (
+            elements.reshape(-1, ept, elements.shape[1])
+            .transpose(1, 0, 2)
+            .reshape(-1, elements.shape[1])
+        )
+    elif order != "cube":
+        raise ValueError(f"order must be 'cube' or 'type', got {order!r}")
 
     return Mesh(nodes, elements)
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -53,14 +54,19 @@ class StructuredCombine:
     d: int
     ept: int
     n_local: int
+    order: str  # "cube" (e = cube*ept + t) or "type" (e = t*n^d + cube)
     # per class: (orbits, rebuild) with rebuild[(t, l)] = (orbit_idx, delta)
     classes: dict  # name -> (orbits: list[Orbit], rebuild: dict, offsets, width)
     pad: int  # halo padding applied to the state view
 
 
-def _cube_coords(e: np.ndarray, n: int, d: int, ept: int):
-    cube = e // ept
-    t = e % ept
+def _cube_coords(e: np.ndarray, n: int, d: int, ept: int, order: str):
+    if order == "cube":
+        cube = e // ept
+        t = e % ept
+    else:  # type-major
+        t = e // n**d
+        cube = e % n**d
     out = np.empty((len(e), d), dtype=np.int64)
     for k in range(d - 1, -1, -1):
         out[:, k] = cube % n
@@ -69,8 +75,8 @@ def _cube_coords(e: np.ndarray, n: int, d: int, ept: int):
 
 
 def detect_structured(base) -> tuple | None:
-    """(n, ept) if ``base`` is a lexicographic full-box hypercube mesh in
-    generator order, else None."""
+    """(n, ept, order) if ``base`` is a lexicographic full-box hypercube
+    mesh in cube-major or type-major generator order, else None."""
     from ..solver.coarse import detect_box
 
     box = detect_box(base)
@@ -79,27 +85,37 @@ def detect_structured(base) -> tuple | None:
     origin, n, h = box
     d = base.dim
     ept = 2 if d == 2 else 6
-    # verify cube-major element order: centroid of element e must lie in
-    # cube unflatten(e // ept)
+    # centroid of element e must lie in the cube its order implies
     centers = base.nodes[base.elements].mean(axis=1)
     cube_of = np.floor((centers - origin[None, :]) / h).astype(np.int64)
     cube_of = np.clip(cube_of, 0, n - 1)
     e = np.arange(base.nelements)
-    expect, _ = _cube_coords(e, n, d, ept)
-    if not np.array_equal(cube_of, expect):
+    order = None
+    for cand in ("cube", "type"):
+        expect, _ = _cube_coords(e, n, d, ept, cand)
+        if np.array_equal(cube_of, expect):
+            order = cand
+            break
+    if order is None:
         return None
+
     # verify identical per-cube split: node pattern of cube 0 replicated
+    def els_of_cube(c):
+        if order == "cube":
+            return base.elements[c * ept : (c + 1) * ept]
+        return base.elements[c :: n**d]
+
     nid_stride = np.array([(n + 1) ** (d - 1 - k) for k in range(d)])
-    first = base.elements[:ept]
-    rel0 = np.sort(first.reshape(-1))
+    first = els_of_cube(0)
     for c in (1, base.nelements // ept - 1):
-        blk = base.elements[c * ept : (c + 1) * ept]
-        off = (expect[c * ept] * nid_stride).sum()
-        if not np.array_equal(np.sort(blk.reshape(-1)) - off, rel0):
+        blk = els_of_cube(c)
+        coord = np.array(np.unravel_index(c, (n,) * d))
+        off = (coord * nid_stride).sum()
+        if not np.array_equal(np.sort(blk.reshape(-1)) - off, np.sort(first.reshape(-1))):
             return None
         if not np.array_equal(blk - blk.min(), first - first.min()):
             return None
-    return n, ept
+    return n, ept, order
 
 
 def build_structured_combine(plan, k: int) -> StructuredCombine | None:
@@ -109,7 +125,7 @@ def build_structured_combine(plan, k: int) -> StructuredCombine | None:
     det = detect_structured(base)
     if det is None or plan.reference.layout is None:
         return None
-    n, ept = det
+    n, ept, order = det
     d = base.dim
     lp = plan.levels[k]
     lay = plan.reference.layout[k]
@@ -128,7 +144,9 @@ def build_structured_combine(plan, k: int) -> StructuredCombine | None:
     for name, (oe, ol, om, gmap), offsets, width in class_specs:
         G, M = oe.shape
         valid = om > 0
-        c_all, t_all = _cube_coords(oe.reshape(-1).astype(np.int64), n, d, ept)
+        c_all, t_all = _cube_coords(
+            oe.reshape(-1).astype(np.int64), n, d, ept, order
+        )
         c_all = c_all.reshape(G, M, d)
         t_all = t_all.reshape(G, M)
         l_all = ol.astype(np.int64)
@@ -222,7 +240,7 @@ def build_structured_combine(plan, k: int) -> StructuredCombine | None:
         # agrees with the anchor arithmetic
         _validate(
             name, G, M, c_all, t_all, l_all, valid, orbit_of, anchor,
-            orbit_patterns, n, gmap, ept,
+            orbit_patterns, n, gmap, ept, order,
         )
 
         orbits = []
@@ -242,7 +260,8 @@ def build_structured_combine(plan, k: int) -> StructuredCombine | None:
         classes[name] = (orbits, rebuild, tuple(int(o) for o in offsets), int(width))
 
     return StructuredCombine(
-        n=n, d=d, ept=ept, n_local=n_local, classes=classes, pad=max_abs_delta
+        n=n, d=d, ept=ept, n_local=n_local, order=order, classes=classes,
+        pad=max_abs_delta,
     )
 
 
@@ -292,13 +311,13 @@ def _try_attach(groups, c_all, t_all, l_all, valid, pat, n, orbit_of, anchor, oi
 
 def _validate(
     name, G, M, c_all, t_all, l_all, valid, orbit_of, anchor, orbit_patterns,
-    n, gmap, ept,
+    n, gmap, ept, order,
 ):
     """Sampled check that anchor arithmetic reproduces gmap exactly."""
     E, L = gmap.shape
     d = c_all.shape[2]
     e = np.arange(E)
-    c_e, t_e = _cube_coords(e, n, d, ept)
+    c_e, t_e = _cube_coords(e, n, d, ept, order)
     # group lookup keyed by (orbit, flattened anchor)
     flat_anchor = np.zeros(G, dtype=np.int64)
     for kk in range(d):
@@ -336,56 +355,94 @@ def combine_structured(x, sc: StructuredCombine, lay: dict):
 
     x: [E, n_local] with E = ept * n^d in cube-major order. Returns the
     combined state in the same layout (identical values to
-    combine_gather_rows; tests assert exact agreement in f64).
+    combine_gather_rows up to summation order; tests assert 1e-12 in f64).
+
+    Memory discipline (matters at 500M+ DOFs): no padded copy of the whole
+    state — out-of-range shifts pad per-slice; and each simplex-type's
+    interface tail is CONCATENATED wide along the last axis before the
+    single stack over types, so XLA never tiles tensors with tiny trailing
+    dims (a [n,n,n,L,15] stack pads ~3-10x on TPU tiles).
     """
-    n, d, ept, pad = sc.n, sc.d, sc.ept, sc.pad
+    n, d, ept = sc.n, sc.d, sc.ept
     E, n_local = x.shape
-    X = x.reshape((n,) * d + (ept, n_local))
-    pad_widths = tuple((pad, pad) for _ in range(d)) + ((0, 0), (0, 0))
-    Xp = jnp.pad(X, pad_widths)
 
-    i0 = lay["iface_start"]
-    parts = [x[:, :i0]] if i0 > 0 else []
+    # never materialize the [n]*d + [ept, n_local] view of the full state
+    # (XLA retiles it — TWO full-state copies in the OOM dump at 643M DOFs):
+    # the rows of simplex type t are a stride-ept slice of the 2D array, so
+    # each (type, column-block) piece is a small [n^d, width] strided slice
+    # reshaped to the grid — ~40 MB at the 643M config, fused freely.
+    tb_cache: dict = {}
+    nd = n**sc.d
 
-    def grid_slice(arr, lo, hi, extra):
-        """arr[lo0:hi0, lo1:hi1, (lo2:hi2,) *extra] with static bounds."""
-        idx = tuple(slice(int(l), int(h)) for l, h in zip(lo, hi)) + extra
-        return arr[idx]
+    def type_block(t, col, width):
+        key = (t, col, width)
+        if key not in tb_cache:
+            if sc.order == "type":
+                # contiguous rows — a free view
+                blk = jax.lax.slice(x, (t * nd, col), ((t + 1) * nd, col + width))
+            else:
+                blk = jax.lax.slice(x, (t, col), (E, col + width), (ept, 1))
+            tb_cache[key] = blk.reshape((n,) * d + (width,))
+        return tb_cache[key]
 
-    for name in ("face", "edge", "corner"):
-        if name not in sc.classes:
-            continue
-        orbits, rebuild, offsets, width = sc.classes[name]
-        Lc = len(offsets)
-        c0 = min(offsets)
+    def shifted(t, col, width, lo, hi):
+        """type_block[lo:hi per grid dim, clipped to [0, n]], zero-padded
+        back to the requested extent."""
+        lo = np.asarray(lo)
+        hi = np.asarray(hi)
+        lo_c = np.clip(lo, 0, n)
+        hi_c = np.clip(hi, 0, n)
+        idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c, hi_c))
+        piece = type_block(t, col, width)[idx]
+        pads = tuple(
+            (int(lc - l), int(h - hc)) for l, lc, h, hc in zip(lo, lo_c, hi, hi_c)
+        ) + ((0, 0),)
+        if any(p != (0, 0) for p in pads):
+            piece = jnp.pad(piece, pads)
+        return piece
 
+    # group sums per orbit, per class
+    class_sums = {}
+    for name, (orbits, rebuild, offsets, width) in sc.classes.items():
         sums = []
         for ob in orbits:
             p_lo = np.array(ob.p_min)
             p_hi = np.array(ob.p_max) + 1
             acc = None
             for dlt, t, l in ob.pattern:
-                col = offsets[l]
-                lo = p_lo + np.array(dlt) + pad
-                hi = p_hi + np.array(dlt) + pad
-                piece = grid_slice(
-                    Xp, lo, hi, (t, slice(col, col + width))
+                piece = shifted(
+                    t, offsets[l], width, p_lo + np.array(dlt), p_hi + np.array(dlt)
                 )
                 acc = piece if acc is None else acc + piece
             sums.append((p_lo, acc))
+        class_sums[name] = sums
 
-        # rebuild: combined[c, t, cols_l] = sums[orbit][c - delta]
-        out_t = []
-        for t in range(ept):
-            cols_l = []
-            for l in range(Lc):
+    # rebuild: for each simplex type, concatenate every class's cell blocks
+    # wide (layout order: faces | edges | corners), then one stack over types
+    i0 = lay["iface_start"]
+    tails = []
+    for t in range(ept):
+        cols = []
+        for name in ("face", "edge", "corner"):
+            if name not in sc.classes:
+                continue
+            orbits, rebuild, offsets, width = sc.classes[name]
+            for l in range(len(offsets)):
                 oi, dlt = rebuild[(t, l)]
-                p_lo, acc = sums[oi]
+                p_lo, acc = class_sums[name][oi]
                 lo = -np.array(dlt) - p_lo
-                hi = lo + n
-                cols_l.append(grid_slice(acc, lo, hi, ()))
-            out_t.append(jnp.stack(cols_l, axis=d))  # [n..., L, width]
-        blk = jnp.stack(out_t, axis=d)  # [n..., ept, L, width]
-        parts.append(blk.reshape(E, Lc * width))
+                idx = tuple(slice(int(a), int(a) + n) for a in lo)
+                cols.append(acc[idx])
+        tail_t = jnp.concatenate(cols, axis=-1)  # [n]*d + [tail_width]
+        tails.append(tail_t.reshape(n**d, -1))
+    if sc.order == "type":
+        # contiguous type blocks: plain row-concat, no interleaving stack
+        # (the [n^d, ept, tail] stack pads ept 6->8 on TPU tiles — 1.7x at
+        # the 643M-DOF config, and it was the peak allocation there)
+        tail = jnp.concatenate(tails, axis=0)
+    else:
+        tail = jnp.stack(tails, axis=1).reshape(E, -1)
 
-    return jnp.concatenate(parts, axis=1)
+    if i0 == 0:
+        return tail
+    return jnp.concatenate([x[:, :i0], tail], axis=1)
