@@ -56,10 +56,8 @@ def checkerboard_hypercube_multigrid(
     # random consistent start with zero b.c. (reference :546-549)
     L = solver.levels[-1]
     x = jnp.asarray(rng.random(xs[-1].shape), dtype=dtype)
-    from ..ops.interfaces import apply_mask
-
     x = solver.combine(x)
-    x = apply_mask(x, L.boundary_mask)
+    x = solver._constrain(x, solver.nlevels - 1)
     xs = (*xs[:-1], x)
     bs = (*bs[:-1], local_unit_rhs(solver))
 

@@ -44,6 +44,12 @@ class Orbit:
     pattern: tuple  # ((delta (d-tuple), t, l), ...) — the owners
     p_min: tuple  # componentwise anchor range over this orbit's groups
     p_max: tuple
+    # anchors inside [int_lo, int_hi] (inclusive) are INTERIOR groups; the
+    # rest lie on the domain boundary (zero-Dirichlet). None = every group
+    # of this orbit is boundary. Validated exhaustively against the plan's
+    # boundary mask at build time.
+    int_lo: tuple | None = None
+    int_hi: tuple | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -243,21 +249,52 @@ def build_structured_combine(plan, k: int) -> StructuredCombine | None:
             orbit_patterns, n, gmap, ept, order,
         )
 
+        # boundary classification: a group is boundary iff its cells are
+        # zeroed by the Dirichlet mask (cells zero as whole blocks). For a
+        # full box this must be an axis-aligned anchor-range condition per
+        # orbit — asserted exhaustively, which is what licenses the
+        # structured constraint (zeroing static shells of the sums arrays).
+        bmask = lp.boundary_mask
+        g_boundary = (
+            bmask[oe[:, 0].astype(np.int64), np.asarray(offsets)[ol[:, 0]]] == 0
+        )
+
         orbits = []
         for oi, pat in enumerate(orbit_patterns):
             sel = orbit_of == oi
             p = anchor[sel]
+            gb = g_boundary[sel]
+            if gb.all():
+                int_lo = int_hi = None
+            else:
+                pi = p[~gb]
+                int_lo = tuple(int(v) for v in pi.min(axis=0))
+                int_hi = tuple(int(v) for v in pi.max(axis=0))
+                inside = ((p >= pi.min(axis=0)) & (p <= pi.max(axis=0))).all(axis=1)
+                assert (inside == ~gb).all(), (
+                    f"{name}: orbit {oi} boundary set is not an anchor box"
+                )
             orbits.append(
                 Orbit(
                     pattern=tuple((tuple(int(x) for x in dlt), int(t), int(l)) for dlt, t, l in pat),
                     p_min=tuple(int(v) for v in p.min(axis=0)),
                     p_max=tuple(int(v) for v in p.max(axis=0)),
+                    int_lo=int_lo,
+                    int_hi=int_hi,
                 )
             )
             for dlt, _, _ in pat:
                 max_abs_delta = max(max_abs_delta, *(abs(int(x)) for x in dlt))
 
         classes[name] = (orbits, rebuild, tuple(int(o) for o in offsets), int(width))
+
+    # element-interior (head) columns must never carry boundary DOFs — what
+    # licenses the structured constraint to touch only interface columns
+    if class_specs:
+        i0 = min(min(offs) for _, _, offs, w in class_specs if len(offs))
+        assert (plan.levels[k].boundary_mask[:, :i0] != 0).all(), (
+            "element-interior columns unexpectedly contain boundary DOFs"
+        )
 
     return StructuredCombine(
         n=n, d=d, ept=ept, n_local=n_local, order=order, classes=classes,
@@ -350,7 +387,25 @@ def _validate(
 # --------------------------------------------------------------------- #
 # device combine
 # --------------------------------------------------------------------- #
-def combine_structured(x, sc: StructuredCombine, lay: dict):
+def _zero_shell(acc, p_lo, ob: Orbit):
+    """Zero every position of the orbit's sums array whose anchor is a
+    boundary group (outside the orbit's interior box): slice the interior
+    block out and pad zeros back — two static ops, no masks in HBM."""
+    if ob.int_lo is None:
+        return jnp.zeros_like(acc)
+    lo = np.array(ob.int_lo) - p_lo
+    hi = np.array(ob.int_hi) + 1 - p_lo
+    ext = np.array(ob.p_max) - np.array(ob.p_min) + 1
+    if (lo == 0).all() and (hi == ext).all():
+        return acc
+    idx = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+    pads = tuple(
+        (int(a), int(e - b)) for a, b, e in zip(lo, hi, ext)
+    ) + ((0, 0),)
+    return jnp.pad(acc[idx], pads)
+
+
+def combine_structured(x, sc: StructuredCombine, lay: dict, constrain: bool = False):
     """Interface combine via shifted slice-adds (see module docstring).
 
     x: [E, n_local] with E = ept * n^d in cube-major order. Returns the
@@ -401,7 +456,9 @@ def combine_structured(x, sc: StructuredCombine, lay: dict):
             piece = jnp.pad(piece, pads)
         return piece
 
-    # group sums per orbit, per class
+    # group sums per orbit, per class (optionally with the zero-Dirichlet
+    # constraint folded in: combine(constrain(y)) == constrain(combine(y))
+    # == zero boundary groups, since every copy of a boundary DOF is zeroed)
     class_sums = {}
     for name, (orbits, rebuild, offsets, width) in sc.classes.items():
         sums = []
@@ -414,6 +471,8 @@ def combine_structured(x, sc: StructuredCombine, lay: dict):
                     t, offsets[l], width, p_lo + np.array(dlt), p_hi + np.array(dlt)
                 )
                 acc = piece if acc is None else acc + piece
+            if constrain:
+                acc = _zero_shell(acc, p_lo, ob)
             sums.append((p_lo, acc))
         class_sums[name] = sums
 
@@ -445,4 +504,68 @@ def combine_structured(x, sc: StructuredCombine, lay: dict):
 
     if i0 == 0:
         return tail
-    return jnp.concatenate([x[:, :i0], tail], axis=1)
+    # dynamic_update_slice instead of concatenate([head, tail]): when x is
+    # dead after the combine XLA updates in place — the explicit head copy
+    # (3x ~0.9 GB live in the 495M-DOF OOM dump) disappears
+    return jax.lax.dynamic_update_slice(x, tail, (0, i0))
+
+
+def constrain_structured(x, sc: StructuredCombine, lay: dict):
+    """Zero-Dirichlet constraint without a resident [E, n_local] mask.
+
+    The boundary slots of cell (t, l) are exactly the elements whose cell's
+    group anchor (c - delta) falls outside the orbit's interior box, so the
+    constraint on each per-type cell block is keep-inner-box + zero-pad —
+    static slices, like the combine. Element-interior (head) columns carry
+    no boundary DOFs (asserted at build). Matches apply_mask(x, bmask) for
+    full-box meshes (reference: apply_constraint!,
+    src/implicit_fine_grid.jl:94-139).
+    """
+    n, d, ept = sc.n, sc.d, sc.ept
+    E, n_local = x.shape
+    nd = n**d
+
+    def type_block(t, col, width):
+        if sc.order == "type":
+            blk = jax.lax.slice(x, (t * nd, col), ((t + 1) * nd, col + width))
+        else:
+            blk = jax.lax.slice(x, (t, col), (E, col + width), (ept, 1))
+        return blk.reshape((n,) * d + (width,))
+
+    i0 = lay["iface_start"]
+    tails = []
+    for t in range(ept):
+        cols = []
+        for name in ("face", "edge", "corner"):
+            if name not in sc.classes:
+                continue
+            orbits, rebuild, offsets, width = sc.classes[name]
+            for l in range(len(offsets)):
+                oi, dlt = rebuild[(t, l)]
+                ob = orbits[oi]
+                blk = type_block(t, offsets[l], width)
+                if ob.int_lo is None:
+                    cols.append(jnp.zeros_like(blk))
+                    continue
+                lo = np.maximum(np.array(ob.int_lo) + np.array(dlt), 0)
+                hi = np.minimum(np.array(ob.int_hi) + 1 + np.array(dlt), n)
+                if (lo == 0).all() and (hi == n).all():
+                    cols.append(blk)
+                    continue
+                if (lo >= hi).any():
+                    cols.append(jnp.zeros_like(blk))
+                    continue
+                idx = tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+                pads = tuple(
+                    (int(a), int(n - b)) for a, b in zip(lo, hi)
+                ) + ((0, 0),)
+                cols.append(jnp.pad(blk[idx], pads))
+        tail_t = jnp.concatenate(cols, axis=-1)
+        tails.append(tail_t.reshape(nd, -1))
+    if sc.order == "type":
+        tail = jnp.concatenate(tails, axis=0)
+    else:
+        tail = jnp.stack(tails, axis=1).reshape(E, -1)
+    if i0 == 0:
+        return tail
+    return jax.lax.dynamic_update_slice(x, tail, (0, i0))

@@ -252,8 +252,14 @@ class MultigridSolver:
                     else jnp.zeros((0,), dtype=jnp.int32),
                     # masks stored as bool (4-8x less HBM than the compute
                     # dtype); the mask multiply casts on the fly and XLA
-                    # fuses the convert
-                    boundary_mask=jnp.asarray(lp.boundary_mask != 0),
+                    # fuses the convert. The structured path needs no
+                    # boundary mask at all — the constraint is static shell
+                    # zeroing (ops/structured.py::constrain_structured);
+                    # the finest-level bool mask alone is ~0.5 GB at 500M
+                    # DOFs.
+                    boundary_mask=jnp.zeros((0, 0), dtype=bool)
+                    if combine == "structured"
+                    else jnp.asarray(lp.boundary_mask != 0),
                     first_copy_mask=jnp.asarray(lp.first_copy_mask != 0),
                     P_up=P_up,
                     row=row,
@@ -419,6 +425,10 @@ class MultigridSolver:
         return combine_interfaces(x, L.slot_flat, L.slot_group, self.n_groups[k])
 
     def _constrain(self, x, k, Ls=None):
+        if self.combine_kind == "structured":
+            from ..ops.structured import constrain_structured
+
+            return constrain_structured(x, self.structured[k], self.row_layout[k])
         return apply_mask(x, (Ls or self.levels)[k].boundary_mask)
 
     def _apply_op(self, x, coeff, k, Ls=None):
