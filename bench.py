@@ -42,7 +42,10 @@ def main():
     from homogenization_jl_tpu.solver.multigrid import MultigridSolver
 
     dim = int(os.environ.get("BENCH_DIM", 3))
-    n = int(os.environ.get("BENCH_N", 16))
+    # default = the 190M-DOF config: the north-star metric is DOF/s at the
+    # falling end of the size curve, not the small-problem sweet spot
+    # (round-1 VERDICT item 9). N=16 (23.8M DOFs) measures within 2% of it.
+    n = int(os.environ.get("BENCH_N", 32))
     nlevels = int(os.environ.get("BENCH_LEVELS", 5))
     cycles = int(os.environ.get("BENCH_CYCLES", 10))
     precision = os.environ.get("BENCH_PRECISION", "highest")
@@ -56,7 +59,9 @@ def main():
     rng = np.random.default_rng(0)
     field = generate_conductivity(dim, n, rng)
     sigma = conductivity_per_element(base, field, np.zeros(dim))
-    plan = build_grid_plan(base, nlevels)
+    # flat slot tables are only for combine="flat"/sharded — skipping them
+    # halves plan-build time at large bases
+    plan = build_grid_plan(base, nlevels, slot_tables=False)
     dofs = plan.base.nelements * plan.n_local(nlevels - 1)
 
     # dense coarse factor only while it stays small (29791^2 f32 = 3.5 GB);

@@ -110,8 +110,8 @@ class LevelPlan:
     combine: CombineTable
     rowwise: RowCombineTables
     gather: GatherCombineTables
-    boundary_mask: np.ndarray  # [E, n_local] 1.0 interior / 0.0 boundary
-    first_copy_mask: np.ndarray  # [E, n_local] keeps one copy per fine DOF
+    boundary_mask: np.ndarray  # [E, n_local] bool: True interior
+    first_copy_mask: np.ndarray  # [E, n_local] bool: one copy per fine DOF
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +187,7 @@ def _list_cells(elements: np.ndarray, local_table: np.ndarray):
     return cells, elem, local
 
 
-def _class_tables(elements, local_table, nodes_of_local):
+def _class_tables(elements, local_table, nodes_of_local, build_slots=True):
     """Build per-class interface slots and boundary/first-copy slot lists.
 
     ``nodes_of_local``: [L, m] ref-node ids on (the interior of) each local
@@ -215,17 +215,23 @@ def _class_tables(elements, local_table, nodes_of_local):
         )
         return slot_elem, slot_node, group
 
-    # Interface cells: shared by >= 2 elements.
+    # Interface cells: shared by >= 2 elements. The per-DOF slot expansion
+    # is S-sized (~101M entries at a 196k-tet 5-level finest) and only the
+    # flat combine form and the sharded table builder consume it —
+    # ``build_slots=False`` skips it (half the plan-build time, profiled).
     shared = counts >= 2
     shared_starts, shared_counts = starts[shared], counts[shared]
-    occ = _ranges(shared_starts, shared_counts)
-    cell_rank = np.repeat(np.arange(len(shared_starts)), shared_counts)
-    if m > 0 and len(occ):
-        ie, inode, igroup = expand(occ, cell_rank)
-        n_groups = len(shared_starts) * m
+    n_groups = len(shared_starts) * m if m > 0 else 0
+    if build_slots and m > 0:
+        occ = _ranges(shared_starts, shared_counts)
+        cell_rank = np.repeat(np.arange(len(shared_starts)), shared_counts)
+        if len(occ):
+            ie, inode, igroup = expand(occ, cell_rank)
+        else:
+            ie = inode = igroup = np.empty(0, dtype=np.int64)
+            n_groups = 0
     else:
         ie = inode = igroup = np.empty(0, dtype=np.int64)
-        n_groups = 0
 
     # Non-first copies (for zero_out_all_but_one): every shared occurrence
     # except the first per cell.
@@ -261,14 +267,19 @@ def _rows_in(rows: np.ndarray, table: np.ndarray) -> np.ndarray:
 
 
 def build_grid_plan(
-    base: Mesh, nlevels: int, dtype=np.float64, contiguous: bool = True
+    base: Mesh, nlevels: int, dtype=np.float64, contiguous: bool = True,
+    slot_tables: bool = True,
 ) -> GridPlan:
     """Build all static tables (reference init path: ImplicitFineGrid ctor,
     src/implicit_fine_grid.jl:13-18 + list_boundary_nodes_edges_faces,
     src/interface.jl:207-284).
 
     ``contiguous``: renumber reference nodes so interface blocks are
-    contiguous columns (windowed gathers/scatters in the combine)."""
+    contiguous columns (windowed gathers/scatters in the combine).
+    ``slot_tables``: build the flat per-DOF slot tables (CombineTable) —
+    required by combine="flat" and the sharded solver; the default gather/
+    structured combines don't need them and skipping halves plan-build time
+    at large bases."""
     assert np.all(np.diff(base.elements, axis=1) > 0), "element rows must be sorted"
     dim = base.dim
     ref = refined_reference(dim, nlevels)
@@ -325,7 +336,10 @@ def build_grid_plan(
         slot_e, slot_n, slot_g = [], [], []
         nonfirst_e, nonfirst_n = [], []
         group_offset = 0
-        bmask = np.ones((E, n_local), dtype=dtype)
+        # bool masks: a [196608, 969] f64 ones() alone costs ~1.5 GB of
+        # allocation+fill per mask per level (profiled); consumers multiply
+        # or compare, which bool serves directly
+        bmask = np.ones((E, n_local), dtype=bool)
 
         face_pairs: dict = {}
         face_cols = None
@@ -337,7 +351,9 @@ def build_grid_plan(
         gather_tabs = {"face": None, "edge": None, "corner": None}
 
         for name, ltab, lnodes, m in classes:
-            tabs = _class_tables(base.elements, ltab, lnodes)
+            tabs = _class_tables(
+                base.elements, ltab, lnodes, build_slots=slot_tables
+            )
             ie, inode, igroup, ng = tabs["iface"]
             if m > 0 and len(ie):
                 slot_e.append(ie)
@@ -436,7 +452,7 @@ def build_grid_plan(
             z = np.empty(0, dtype=np.int32)
             combine = CombineTable(z, z, z, 0)
 
-        first_mask = np.ones((E, n_local), dtype=dtype)
+        first_mask = np.ones((E, n_local), dtype=bool)
         if nonfirst_e:
             first_mask[
                 np.concatenate(nonfirst_e), np.concatenate(nonfirst_n)
