@@ -98,45 +98,45 @@ def main():
     _, _, detJ, _ = affine_maps(base)
     b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
 
-    xs, bs = solver.zero_states()
-    bs = (*bs[:-1], b)
+    x, _ = solver.zero_states()
 
     # Run all V-cycles inside one jitted fori_loop and force a scalar
     # readback: the axon tunnel's block_until_ready does not synchronize and
     # per-dispatch overhead is ~0.5s, so timing individual dispatches lies.
     Ls = tuple(solver.levels)
+    interior = solver._interior_payload()
 
     import jax.numpy as jnp  # local alias for the closure
 
-    # donate xs: at 500M+ DOFs the state tuple is ~2.5 GB; aliasing it into
+    # donate x: at 500M+ DOFs the finest state is ~2 GB; aliasing it into
     # the output removes one full copy from peak HBM. Each timed() call
-    # rebinds xs to the returned (donated-into) arrays.
+    # rebinds x to the returned (donated-into) array. Sub-top level states
+    # are in-trace scratch (slim V-cycle interface, round 3).
     @partial(jax.jit, donate_argnums=(0,))
-    def run(xs, bs, coeff, chol, Ls, base_elements, interior_idx, n):
+    def run(x, b, coeff, chol, Ls, base_elements, interior, n):
         # carry the residual NORM through the loop, not the residual array —
         # a loop-carried [E, n_local] buffer is ~1.9 GB at 500M DOFs
         def body(i, state):
-            xs, _ = state
-            xs, r = solver._vcycle_impl(
-                xs, bs, coeff, chol, Ls, base_elements, interior_idx, lam_max
+            x, _ = state
+            x, r = solver._vcycle_impl(
+                x, b, coeff, chol, Ls, base_elements, interior, lam_max
             )
             rr = r * Ls[-1].first_copy_mask
-            return xs, jnp.vdot(rr, rr)
+            return x, jnp.vdot(rr, rr)
 
-        xs, rsq = jax.lax.fori_loop(0, n, body, (xs, jnp.zeros((), dtype)))
-        return xs, jnp.sqrt(rsq)
+        x, rsq = jax.lax.fori_loop(0, n, body, (x, jnp.zeros((), dtype)))
+        return x, jnp.sqrt(rsq)
 
     def timed(n):
-        nonlocal xs
+        nonlocal x
         t0 = time.perf_counter()
-        xs, rn = run(
-            xs, bs, coeff, chol, Ls, solver.base_elements, solver.interior_idx,
-            n,
+        x, rn = run(
+            x, b, coeff, chol, Ls, solver.base_elements, interior, n,
         )
         rn = float(rn)  # host readback = true synchronization
         return time.perf_counter() - t0, rn
 
-    timed(1)  # compile + warm
+    timed(1)  # compile + warm (donation: x rebinds each call)
     n1, n2 = 2, 2 + cycles
     t1, _ = timed(n1)
     t2, rn = timed(n2)

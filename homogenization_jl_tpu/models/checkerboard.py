@@ -106,6 +106,22 @@ def initial_rhs(plan, sigma_el: np.ndarray, xi: np.ndarray, dtype=np.float64) ->
     return (f @ P.T).T.astype(dtype)  # [E, n_local]
 
 
+def lattice_dof_norms(plan, k: int, chunk: int = 100_000) -> np.ndarray:
+    """[E, n_local(k)] inf-norm of every fine-DOF coordinate, f32 (exact for
+    the dyadic lattice coordinates of hypercube plans). Chunked over elements
+    — the [E, n_local, d] coordinate intermediate would be tens of GB at the
+    flagship sizes."""
+    J, shift, _, _ = affine_maps(plan.base)
+    ref = plan.reference.levels[k].nodes  # [n_local, d]
+    E = plan.base.nelements
+    out = np.empty((E, ref.shape[0]), dtype=np.float32)
+    for s in range(0, E, chunk):
+        e = min(s + chunk, E)
+        coords = np.einsum("eij,nj->eni", J[s:e], ref) + shift[s:e, None, :]
+        out[s:e] = np.abs(coords).max(axis=2)
+    return out
+
+
 def consistent_random(plan, k: int, rng) -> np.ndarray:
     """Random [E, n_local] state, interface-consistent and zero on the
     boundary (reference: rand! + broadcast_interfaces! + apply_constraint!,
@@ -228,6 +244,7 @@ def checkerboard_homogenization(
     shrink: bool = True,
     solver: str = "vcycle",
     lanczos_iters: int = 120,
+    geometry: str = "ordered",
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -249,6 +266,13 @@ def checkerboard_homogenization(
     ``solver``: "vcycle" (reference behavior) or "multishift" — one
     generalized-Lanczos pass serving every recurrence step (BASELINE
     config 4; implies the fixed-domain variant).
+    ``geometry``: "ordered" reproduces the reference's inf-norm element
+    ordering with prefix-slice domain shrinking (one plan + solver rebuild
+    and recompile per outer step, gather combine); "lattice" keeps the full
+    lexicographic box for the whole run and shrinks by MASKING (pad-and-
+    mask): every step runs the structured slice-add combine, shapes stay
+    static, and sharding uses the slab solver. Same sigma up to the solve
+    tolerance (the k=0/k=1 direct-solve oracles hold for both).
     """
     if solver == "multishift":
         from .multishift import homogenization_multishift
@@ -262,6 +286,18 @@ def checkerboard_homogenization(
             cond_field=cond_field,
             seed=seed,
         )
+    if geometry == "lattice":
+        return _checkerboard_lattice(
+            n, dim=dim, refinements=refinements,
+            smoothing_steps=smoothing_steps, tolerance=tolerance, xi=xi,
+            cond_field=cond_field, seed=seed, dtype=dtype, coarse=coarse,
+            coarse_dense_limit=coarse_dense_limit, max_cycles=max_cycles,
+            verbose=verbose, return_trace=return_trace,
+            save_level=save_level, save_prefix=save_prefix,
+            checkpoint_dir=checkpoint_dir, resume_from=resume_from,
+            device_mesh=device_mesh, smoother=smoother, shrink=shrink,
+        )
+    assert geometry == "ordered", geometry
     lam = 1.0
     sigma = 0.0
     box_radius = compute_box_radius(0, n)
@@ -370,10 +406,6 @@ def checkerboard_homogenization(
                 else None
             )
 
-            xs, bs = solver.zero_states()
-            xs = (*xs[:-1], x)
-            bs = (*bs[:-1], b)
-
             n_box = prefix_in_radius(center_norms, box_radius)
             mask = to_dev((np.arange(base.nelements) < n_box).astype(np.float64))
             domain_area = float(area_fn(mask))
@@ -382,12 +414,12 @@ def checkerboard_homogenization(
             d_sigma_prev = 0.0
             cycles = 0
             for i in range(max_cycles):
-                xs, r = solver.vcycle(xs, bs, coeff, setup, lam_max=lam_max)
+                x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
                 cycles += 1
                 if k == 0:
-                    integral = float(first_fn(xs[-1], b, mask))
+                    integral = float(first_fn(x, b, mask))
                 else:
-                    integral = float(terms_fn(xs[-1], v_prev, mask))
+                    integral = float(terms_fn(x, v_prev, mask))
                 d_sigma = 2.0**k * integral / domain_area
                 if verbose:
                     rn = float(solver.residual_norm(r))
@@ -399,7 +431,6 @@ def checkerboard_homogenization(
                     break
                 d_sigma_prev = d_sigma
 
-            x = xs[-1]
             sigma += d_sigma
             trace.sigma_steps.append(sigma)
             trace.cycles_per_step.append(cycles)
@@ -460,6 +491,264 @@ def checkerboard_homogenization(
             plan.levels[nlevels - 1].boundary_mask
         )
         x = to_dev(x_host)
+        v_prev = x
+        b = next_rhs_fn(x, lam)
+
+    trace.sigma = sigma
+    if return_trace:
+        return sigma, trace
+    return sigma
+
+
+def _checkerboard_lattice(
+    n, dim, refinements, smoothing_steps, tolerance, xi, cond_field, seed,
+    dtype, coarse, coarse_dense_limit, max_cycles, verbose, return_trace,
+    save_level, save_prefix, checkpoint_dir, resume_from, device_mesh,
+    smoother, shrink,
+):
+    """Lattice-geometry recurrence: one full-box plan and ONE solver for the
+    whole run; domain shrinking is pad-and-mask. Per outer step only the
+    Dirichlet masks (LevelDevice.boundary_mask — jit ARGUMENTS), the coarse
+    interior-node mask, lambda and the integration-box mask change: every
+    step runs on the structured slice-add combine, and the sharded variant
+    is the slab solver (parallel/slab.py). Mirrors the reference recurrence
+    semantics (homogenized_coefficients.jl:174-343) with shrinking realized
+    as masking instead of prefix slicing."""
+    import jax
+
+    lam = 1.0
+    sigma = 0.0
+    box_radius = compute_box_radius(0, n)
+    boundary_layer = compute_boundary_layer(lam, n)
+    total_radius = box_radius + boundary_layer
+    R0 = total_radius
+
+    if xi is None:
+        xi = np.ones(dim) / np.sqrt(dim)
+    xi = np.asarray(xi, dtype=np.float64)
+
+    rng = np.random.default_rng(seed)
+    if cond_field is None:
+        cond_field = generate_conductivity(dim, 2 * R0, rng)
+    else:
+        assert cond_field.shape == (2 * R0,) * dim + (dim,)
+
+    resume_state = None
+    if resume_from is not None:
+        from ..utils.checkpoint import load_step
+
+        resume_state = load_step(resume_from)
+        assert resume_state["n"] == n and resume_state["refinements"] == refinements
+        cond_field = resume_state["cond_field"]
+        xi = resume_state["xi"]
+
+    # cube-major order for slab sharding; type-major single-chip (the
+    # combined tail reassembles without the 6->8-padded interleave stack)
+    order = "cube" if device_mesh is not None else "type"
+    base = hypercube(dim, 2 * R0, origin=-np.full(dim, float(R0)), order=order)
+    offset = np.full(dim, float(R0))
+    sigma_el = conductivity_per_element(base, cond_field, offset)
+    if save_level is not None:
+        from ..utils.vtk import export_conductivity
+
+        export_conductivity("checkerboard", base, sigma_el)
+
+    nlevels = refinements + 1
+    plan = build_grid_plan(base, nlevels, slot_tables=False)
+    E = base.nelements
+    n_top = plan.n_local(nlevels - 1)
+
+    # will any step actually shrink? (decides whether the coarse solve needs
+    # the masked global-space forms)
+    lam_t, tot_t, shrinks = 1.0, R0, False
+    for kk in range(n + 1):
+        lam_t /= 2.0
+        br = compute_box_radius(kk + 1, n)
+        bl = compute_boundary_layer(lam_t, n)
+        if br + bl > tot_t:
+            break
+        if shrink and br + bl < tot_t:
+            shrinks = True
+            tot_t = br + bl
+
+    from ..solver.coarse import coarsening_depth
+
+    kind = coarse
+    can_mg = coarsening_depth(base, 4000) > 0
+    if kind == "mg" and not can_mg:
+        kind = "cg"
+    if kind in ("chol", "inv") and (
+        len(plan.interior_base_nodes) > coarse_dense_limit or shrinks
+    ):
+        # chol/inv factor the FULL-box interior; shrunken steps solve the
+        # sub-box operator, which only the global-space cg/mg forms mask
+        kind = "mg" if can_mg else "cg"
+
+    if device_mesh is None:
+        sol = MultigridSolver(
+            plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=kind,
+            smoother=smoother,
+        )
+
+        def to_dev(a):
+            return jnp.asarray(a, dtype=dtype)
+
+        def put_bool(a):
+            return jnp.asarray(a)
+
+        def constrain0(v):
+            return sol._constrain(v, nlevels - 1)
+    else:
+        from ..parallel.slab import SlabShardedMultigridSolver
+
+        sol = SlabShardedMultigridSolver(
+            plan, device_mesh, dtype=dtype, smoothing_steps=smoothing_steps,
+            coarse=kind, smoother=smoother,
+        )
+        to_dev = sol.put
+
+        def put_bool(a):
+            return jax.device_put(jnp.asarray(a), sol.sharding)
+
+        constrain0 = sol.constrain
+    assert sol.combine_kind == "structured"
+
+    mass = sol.levels[-1].stack[-1]
+    _, _, detJ_np, _ = affine_maps(base)
+    area_fn, first_fn, terms_fn, next_rhs_fn = _integrals_fns(
+        mass, to_dev(detJ_np)
+    )
+
+    cnorm = np.abs(base.nodes[base.elements].mean(axis=1)).max(axis=1)
+    node_norm = np.abs(base.nodes).max(axis=1)
+    dof_norms = [None] * nlevels
+
+    def top_norms():
+        if dof_norms[nlevels - 1] is None:
+            dof_norms[nlevels - 1] = lattice_dof_norms(plan, nlevels - 1)
+        return dof_norms[nlevels - 1]
+
+    def level_Ls(R):
+        Ls = []
+        for k2 in range(nlevels):
+            if dof_norms[k2] is None:
+                dof_norms[k2] = lattice_dof_norms(plan, k2)
+            m = dof_norms[k2] < (R - 1e-9)
+            Ls.append(sol.levels[k2]._replace(boundary_mask=put_bool(m)))
+        return tuple(Ls)
+
+    # initial state: random, interface-consistent (one device combine — the
+    # table-free form of rand! + broadcast_interfaces! + apply_constraint!,
+    # homogenized_coefficients.jl:246-248), zero on the boundary
+    x = constrain0(sol.combine(to_dev(rng.random((E, n_top)))))
+    b = to_dev(initial_rhs(plan, sigma_el, xi))
+    v_prev = None
+
+    start_k = 0
+    skip_first_solve = False
+    if resume_state is not None:
+        sigma = resume_state["sigma"]
+        lam = resume_state["lam"]
+        box_radius = resume_state["box_radius"]
+        total_radius = resume_state["total_radius"]
+        x = to_dev(resume_state["x"])
+        b = to_dev(resume_state["b"])
+        v_prev = (
+            to_dev(resume_state["v_prev"])
+            if resume_state["v_prev"] is not None
+            else None
+        )
+        start_k = resume_state["k"]
+        skip_first_solve = True
+
+    trace = HomogenizationTrace(0.0, [], [], [])
+
+    for k in range(start_k, n + 1):
+        if not (skip_first_solve and k == start_k):
+            if verbose:
+                print(
+                    f"[step {k}] domain [-{total_radius},{total_radius}]^{dim} "
+                    f"(masked, full box [-{R0},{R0}]) box={box_radius} "
+                    f"layer={boundary_layer} E={E} unknowns<= {plan.max_unknowns}"
+                )
+            shrunk = total_radius < R0
+            Ls_k = level_Ls(total_radius) if shrunk else None
+            int_k = (
+                jnp.asarray(node_norm < (total_radius - 1e-9))
+                if (shrunk and kind in ("cg", "mg"))
+                else None
+            )
+            coeff = sol.coefficients(sigma_el, lam)
+            setup = sol.coarse_setup(sigma_el, lam)
+            lam_max = (
+                sol.estimate_lambda_max(coeff)
+                if smoother == "chebyshev"
+                else None
+            )
+            mask = to_dev((cnorm <= box_radius).astype(np.float64))
+            domain_area = float(area_fn(mask))
+
+            d_sigma = 0.0
+            d_sigma_prev = 0.0
+            cycles = 0
+            for i in range(max_cycles):
+                x, r = sol.vcycle(
+                    x, b, coeff, setup, lam_max=lam_max, Ls=Ls_k, interior=int_k
+                )
+                cycles += 1
+                if k == 0:
+                    integral = float(first_fn(x, b, mask))
+                else:
+                    integral = float(terms_fn(x, v_prev, mask))
+                d_sigma = 2.0**k * integral / domain_area
+                if verbose:
+                    rn = float(sol.residual_norm(r))
+                    print(
+                        f"  cycle {i + 1}: |r|={rn:.3e} "
+                        f"sigma+ds={sigma + d_sigma:.10f} "
+                        f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e}"
+                    )
+                if abs(d_sigma - d_sigma_prev) < tolerance:
+                    break
+                d_sigma_prev = d_sigma
+
+            sigma += d_sigma
+            trace.sigma_steps.append(sigma)
+            trace.cycles_per_step.append(cycles)
+            trace.residuals.append(float(sol.residual_norm(r)))
+
+            if save_level is not None:
+                from ..utils.vtk import export_solution
+
+                export_solution(
+                    f"{save_prefix}_{k}", plan, save_level, np.asarray(x)
+                )
+            if checkpoint_dir is not None:
+                import os
+
+                from ..utils.checkpoint import save_step
+
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                save_step(
+                    os.path.join(checkpoint_dir, f"step_{k}"),
+                    k=k, sigma=sigma, lam=lam, box_radius=box_radius,
+                    total_radius=total_radius, x=np.asarray(x),
+                    b=np.asarray(b),
+                    v_prev=np.asarray(v_prev) if v_prev is not None else None,
+                    cond_field=cond_field, xi=xi,
+                    n=n, refinements=refinements,
+                )
+
+        # ---- schedule tail: lambda halving + masked shrink ----------------
+        lam /= 2.0
+        box_radius = compute_box_radius(k + 1, n)
+        boundary_layer = compute_boundary_layer(lam, n)
+        if box_radius + boundary_layer > total_radius:
+            break
+        if shrink and box_radius + boundary_layer < total_radius:
+            total_radius = box_radius + boundary_layer
+            # re-apply the (new, smaller) sub-box Dirichlet condition to x
+            x = x * put_bool(top_norms() < (total_radius - 1e-9))
         v_prev = x
         b = next_rhs_fn(x, lam)
 

@@ -52,20 +52,18 @@ def checkerboard_hypercube_multigrid(
     coeff = solver.coefficients(sigma_el, lam)
     chol = solver.coarse_cholesky(sigma_el, lam) if coarse == "chol" else None
 
-    xs, bs = solver.zero_states()
     # random consistent start with zero b.c. (reference :546-549)
-    L = solver.levels[-1]
-    x = jnp.asarray(rng.random(xs[-1].shape), dtype=dtype)
+    x0, _ = solver.zero_states()
+    x = jnp.asarray(rng.random(x0.shape), dtype=dtype)
     x = solver.combine(x)
     x = solver._constrain(x, solver.nlevels - 1)
-    xs = (*xs[:-1], x)
-    bs = (*bs[:-1], local_unit_rhs(solver))
+    b = local_unit_rhs(solver)
 
     history = []
     for _ in range(max_cycles):
-        xs, r = solver.vcycle(xs, bs, coeff, chol)
+        x, r = solver.vcycle(x, b, coeff, chol)
         history.append(float(solver.residual_norm(r)))
-    return history, xs[-1], solver
+    return history, x, solver
 
 
 def checkerboard_hypercube_full(

@@ -104,18 +104,18 @@ def st1_multigrid(
     coeff = solver.coefficients(sigma_el, lam)
     setup = solver.coarse_setup(sigma_el, lam)
 
-    xs, bs = solver.zero_states()
+    x, _ = solver.zero_states()
     b_ref = load_vector(plan.reference.levels[refinements])
     _, _, detJ, _ = affine_maps(base)
-    bs = (*bs[:-1], jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype))
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
 
     history = []
     for _ in range(max_cycles):
-        xs, r = solver.vcycle(xs, bs, coeff, setup)
+        x, r = solver.vcycle(x, b, coeff, setup)
         history.append(float(solver.residual_norm(r)))
 
     if save:
         from ..utils.vtk import export_solution
 
-        export_solution(save, plan, refinements, np.asarray(xs[-1]))
-    return history, xs[-1], solver, sigma_el
+        export_solution(save, plan, refinements, np.asarray(x))
+    return history, x, solver, sigma_el

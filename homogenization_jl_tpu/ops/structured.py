@@ -510,6 +510,226 @@ def combine_structured(x, sc: StructuredCombine, lay: dict, constrain: bool = Fa
     return jax.lax.dynamic_update_slice(x, tail, (0, i0))
 
 
+# --------------------------------------------------------------------- #
+# slab-sharded combine (shard_map, cube-major x-plane slabs)
+# --------------------------------------------------------------------- #
+def combine_structured_slab(
+    x, sc: StructuredCombine, lay: dict, W: int, n_shards: int,
+    axis_name: str, constrain: bool = False,
+):
+    """Interface combine for one shard of a cube-major state slab-sharded
+    along grid axis 0 (x-planes of cubes).
+
+    ``x``: the shard's local [B, n_local] block, B = W * n^{d-1} * ept, rows
+    = cube-major order of the shard's W contiguous x-planes. The combine is
+    the single-device shifted-slice-add algorithm run on a halo-extended
+    slab: each shard ppermutes its ``pad`` edge planes of interface columns
+    to both neighbors (the ONLY communication — O(surface) bytes over ICI),
+    computes orbit group sums for every anchor its elements read, and
+    rebuilds its own rows. Shards at the domain ends receive ppermute's
+    zero fill, which is exactly the zero-padding the boundary groups'
+    partial sums require. Anchors in the one-plane overlap are computed by
+    both neighbors from identical inputs in identical order -> identical
+    float values on every copy, the invariant iterative solvers need.
+    (This is the cross-address-space form of broadcast_interfaces!,
+    src/implicit_fine_grid.jl:209-328 — which the reference never needed:
+    its threads share memory.)
+
+    ``constrain=True`` folds the zero-Dirichlet constraint in: the axis-0
+    interior-anchor test becomes a dynamic iota mask against the shard's
+    global plane offset (axis_index * W); other axes stay static slices.
+    """
+    n, d, ept, pad = sc.n, sc.d, sc.ept, sc.pad
+    assert sc.order == "cube", "slab sharding requires cube-major order"
+    assert n % n_shards == 0 and W == n // n_shards and W >= pad
+    n2 = n ** (d - 1)
+    B, n_local = x.shape
+    assert B == W * n2 * ept
+    i0 = lay["iface_start"]
+    tw = n_local - i0
+    A = W + 2 * pad  # halo-extended plane count
+    rpp = n2 * ept  # rows per plane
+
+    tail = jax.lax.slice(x, (0, i0), (B, n_local))
+    lo_edge = jax.lax.slice(tail, (0, 0), (pad * rpp, tw))
+    hi_edge = jax.lax.slice(tail, (B - pad * rpp, 0), (B, tw))
+    # left halo = left neighbor's highest planes; shard 0 receives zeros
+    halo_lo = jax.lax.ppermute(
+        hi_edge, axis_name, [(s, s + 1) for s in range(n_shards - 1)]
+    )
+    halo_hi = jax.lax.ppermute(
+        lo_edge, axis_name, [(s + 1, s) for s in range(n_shards - 1)]
+    )
+    T = jnp.concatenate([halo_lo, tail, halo_hi], axis=0)  # [A*rpp, tw]
+
+    grid = (A,) + (n,) * (d - 1)
+    tb_cache: dict = {}
+
+    def type_block(t, col, width):
+        key = (t, col, width)
+        if key not in tb_cache:
+            Tv = T.reshape((A * n2, ept, tw))
+            blk = jax.lax.slice(
+                Tv, (0, t, col - i0), (A * n2, t + 1, col - i0 + width)
+            )
+            tb_cache[key] = blk.reshape(grid + (width,))
+        return tb_cache[key]
+
+    def shifted(t, col, width, lo, hi):
+        """Ext-coordinate slice; axis 0 always in range (halo covers it),
+        axes 1+ clipped to [0, n] and zero-padded back."""
+        lo = np.asarray(lo)
+        hi = np.asarray(hi)
+        assert 0 <= lo[0] and hi[0] <= A
+        lo_c = lo.copy()
+        hi_c = hi.copy()
+        lo_c[1:] = np.clip(lo[1:], 0, n)
+        hi_c[1:] = np.clip(hi[1:], 0, n)
+        idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c, hi_c))
+        piece = type_block(t, col, width)[idx]
+        pads = tuple(
+            (int(lc - l), int(h - hc)) for l, lc, h, hc in zip(lo, lo_c, hi, hi_c)
+        ) + ((0, 0),)
+        if any(p != (0, 0) for p in pads):
+            piece = jnp.pad(piece, pads)
+        return piece
+
+    # global plane coordinate of ext anchor index 0 (traced, per shard)
+    gstart = jax.lax.axis_index(axis_name) * W - pad
+    Wp = W + pad  # anchors computed: ext [0, W + pad)
+
+    def zero_shell_slab(acc, p_lo, ob: Orbit):
+        if ob.int_lo is None:
+            return jnp.zeros_like(acc)
+        # axes 1+: static interior slice + zero pad
+        lo = np.array(ob.int_lo[1:]) - p_lo[1:]
+        hi = np.array(ob.int_hi[1:]) + 1 - p_lo[1:]
+        ext = np.array(ob.p_max[1:]) - np.array(ob.p_min[1:]) + 1
+        if not ((lo == 0).all() and (hi == ext).all()):
+            idx = (slice(None),) + tuple(
+                slice(int(a), int(b)) for a, b in zip(lo, hi)
+            )
+            pads = ((0, 0),) + tuple(
+                (int(a), int(e - b)) for a, b, e in zip(lo, hi, ext)
+            ) + ((0, 0),)
+            acc = jnp.pad(acc[idx], pads)
+        # axis 0: dynamic mask against the global anchor coordinate
+        g = gstart + jnp.arange(acc.shape[0])
+        m = (g >= ob.int_lo[0]) & (g <= ob.int_hi[0])
+        return acc * m.astype(acc.dtype).reshape((-1,) + (1,) * (acc.ndim - 1))
+
+    class_sums = {}
+    for name, (orbits, rebuild, offsets, width) in sc.classes.items():
+        sums = []
+        for ob in orbits:
+            # ext coords: axis 0 anchors [0, Wp); axes 1+ the orbit's range
+            p_lo = np.array((0,) + ob.p_min[1:])
+            p_hi = np.array((Wp,) + tuple(v + 1 for v in ob.p_max[1:]))
+            acc = None
+            for dlt, t, l in ob.pattern:
+                piece = shifted(
+                    t, offsets[l], width,
+                    p_lo + np.array(dlt), p_hi + np.array(dlt),
+                )
+                acc = piece if acc is None else acc + piece
+            if constrain:
+                acc = zero_shell_slab(acc, p_lo, ob)
+            sums.append((np.array((0,) + ob.p_min[1:]), acc))
+        class_sums[name] = sums
+
+    tails = []
+    for t in range(ept):
+        cols = []
+        for name in ("face", "edge", "corner"):
+            if name not in sc.classes:
+                continue
+            orbits, rebuild, offsets, width = sc.classes[name]
+            for l in range(len(offsets)):
+                oi, dlt = rebuild[(t, l)]
+                p_lo, acc = class_sums[name][oi]
+                # own planes sit at ext [pad, W + pad); anchor = plane - dlt
+                lo0 = pad - dlt[0]
+                idx = (slice(lo0, lo0 + W),) + tuple(
+                    slice(int(-dlt[ax] - p_lo[ax]), int(-dlt[ax] - p_lo[ax]) + n)
+                    for ax in range(1, d)
+                )
+                cols.append(acc[idx])
+        tail_t = jnp.concatenate(cols, axis=-1)  # [W, n, .., tw]
+        tails.append(tail_t.reshape(W * n2, tw))
+    tail_out = jnp.stack(tails, axis=1).reshape(B, tw)
+    if i0 == 0:
+        return tail_out
+    return jax.lax.dynamic_update_slice(x, tail_out, (0, i0))
+
+
+def constrain_structured_slab(
+    x, sc: StructuredCombine, lay: dict, W: int, axis_name: str
+):
+    """Zero-Dirichlet constraint for one cube-major slab shard: static
+    shell zeroing per (type, cell) in axes 1+, a dynamic iota mask against
+    the shard's global plane coordinate in axis 0. No halo needed (pure
+    masking) and no resident [B, n_local] mask."""
+    n, d, ept, pad = sc.n, sc.d, sc.ept, sc.pad
+    assert sc.order == "cube"
+    n2 = n ** (d - 1)
+    B, n_local = x.shape
+    i0 = lay["iface_start"]
+    tw = n_local - i0
+    x0 = jax.lax.axis_index(axis_name) * W
+    xg = x0 + jnp.arange(W)  # global plane coordinate of local planes
+
+    def type_block(t, col, width):
+        xv = x.reshape((W * n2, ept, n_local))
+        blk = jax.lax.slice(xv, (0, t, col), (W * n2, t + 1, col + width))
+        return blk.reshape((W,) + (n,) * (d - 1) + (width,))
+
+    tails = []
+    for t in range(ept):
+        cols = []
+        for name in ("face", "edge", "corner"):
+            if name not in sc.classes:
+                continue
+            orbits, rebuild, offsets, width = sc.classes[name]
+            for l in range(len(offsets)):
+                oi, dlt = rebuild[(t, l)]
+                ob = orbits[oi]
+                blk = type_block(t, offsets[l], width)
+                if ob.int_lo is None:
+                    cols.append(jnp.zeros_like(blk))
+                    continue
+                # axes 1+: keep anchors (c - dlt) inside the interior box
+                lo = np.maximum(
+                    np.array(ob.int_lo[1:]) + np.array(dlt[1:]), 0
+                )
+                hi = np.minimum(
+                    np.array(ob.int_hi[1:]) + 1 + np.array(dlt[1:]), n
+                )
+                if (lo >= hi).any():
+                    cols.append(jnp.zeros_like(blk))
+                    continue
+                if not ((lo == 0).all() and (hi == n).all()):
+                    idx = (slice(None),) + tuple(
+                        slice(int(a), int(b)) for a, b in zip(lo, hi)
+                    )
+                    pads = ((0, 0),) + tuple(
+                        (int(a), int(n - b)) for a, b in zip(lo, hi)
+                    ) + ((0, 0),)
+                    blk = jnp.pad(blk[idx], pads)
+                # axis 0: dynamic global test on the anchor plane
+                g = xg - int(dlt[0])
+                m = (g >= ob.int_lo[0]) & (g <= ob.int_hi[0])
+                blk = blk * m.astype(blk.dtype).reshape(
+                    (-1,) + (1,) * (blk.ndim - 1)
+                )
+                cols.append(blk)
+        tail_t = jnp.concatenate(cols, axis=-1)
+        tails.append(tail_t.reshape(W * n2, tw))
+    tail_out = jnp.stack(tails, axis=1).reshape(B, tw)
+    if i0 == 0:
+        return tail_out
+    return jax.lax.dynamic_update_slice(x, tail_out, (0, i0))
+
+
 def constrain_structured(x, sc: StructuredCombine, lay: dict):
     """Zero-Dirichlet constraint without a resident [E, n_local] mask.
 

@@ -335,14 +335,13 @@ class ShardedMultigridSolver:
         return jax.device_put(self._inner.coarse_setup(sigma_el, lam), self.replicated)
 
     def zero_states(self):
-        xs = tuple(
-            jax.device_put(
-                jnp.zeros((self.E_pad, self.plan.n_local(k)), dtype=self.dtype),
-                self.sharding,
-            )
-            for k in range(self.nlevels)
+        z = jax.device_put(
+            jnp.zeros(
+                (self.E_pad, self.plan.n_local(self.nlevels - 1)), dtype=self.dtype
+            ),
+            self.sharding,
         )
-        return xs, xs
+        return z, z
 
     def put(self, x_np, level=None):
         """Pad + shard a global element-leading array ([E, n_local] or [E])."""
@@ -509,10 +508,6 @@ class ShardedMultigridSolver:
         w = L["first_copy_mask"]
         bm = L["boundary_mask"]
         inner_aux = self._inner.aux_solver
-        gplan = self._inner.coarse_geom.plan
-        aux_shapes = [
-            (gplan.base.nelements, gplan.n_local(k)) for k in range(gplan.nlevels)
-        ]
         safe = MultigridSolver._safe_div
 
         def dot(a, b):
@@ -528,12 +523,11 @@ class ShardedMultigridSolver:
             u = u.at[elements.reshape(-1)].add((rc * w).reshape(-1))
             r_glob = jax.lax.psum(u, AXIS)
             b_aux = r_glob[aux["node_map"]] * aux["aux_first_mask"]
-            xs_a = tuple(jnp.zeros(s, rc.dtype) for s in aux_shapes)
-            bs_a = (*(jnp.zeros(s, rc.dtype) for s in aux_shapes[:-1]), b_aux)
+            x_a = jnp.zeros_like(b_aux)
             for _ in range(self.coarse_prec_cycles):
-                xs_a, _ = inner_aux._vcycle_impl(
-                    xs_a,
-                    bs_a,
+                x_a, _ = inner_aux._vcycle_impl(
+                    x_a,
+                    b_aux,
                     aux["coeff"],
                     aux["chol"],
                     aux["Ls"],
@@ -541,7 +535,7 @@ class ShardedMultigridSolver:
                     aux["interior_idx"],
                     aux["lam_max"],
                 )
-            z_glob = xs_a[-1].reshape(-1)[aux["aux_first_flat"]]
+            z_glob = x_a.reshape(-1)[aux["aux_first_flat"]]
             return z_glob[elements] * bm
 
         def prec(r):
@@ -635,10 +629,12 @@ class ShardedMultigridSolver:
         top = self.nlevels - 1
         statics = [self._level_statics(k) for k in range(self.nlevels)]
 
-        def body(xs, bs, coeff, chol, elements, valid, lam_max, *level_arrays):
+        def body(x_top, b_top, coeff, chol, elements, valid, lam_max, *level_arrays):
             Ls = [dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)]
-            xs = list(xs)
-            bs = list(bs)
+            xs = [None] * self.nlevels
+            bs = [None] * self.nlevels
+            xs[top], bs[top] = x_top, b_top
+            B = x_top.shape[0]
 
             def descend(k):
                 if k == 0:
@@ -661,7 +657,10 @@ class ShardedMultigridSolver:
                     "boundary_mask"
                 ]
                 bs[k - 1] = restrict(r_local, Ls[k]["P_up"])
-                xs[k - 1] = jnp.zeros_like(xs[k - 1])
+                if k - 1 > 0:
+                    xs[k - 1] = jnp.zeros(
+                        (B, self.plan.n_local(k - 1)), x_top.dtype
+                    )
                 descend(k - 1)
                 x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
                 x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps, lam_max)
@@ -669,9 +668,9 @@ class ShardedMultigridSolver:
                 return r
 
             r_fine = descend(top)
-            return tuple(xs), r_fine
+            return xs[top], r_fine
 
-        state_spec = tuple(P(AXIS, None) for _ in range(self.nlevels))
+        state_spec = P(AXIS, None)
         in_specs = (
             state_spec,
             state_spec,
@@ -692,10 +691,10 @@ class ShardedMultigridSolver:
             check_vma=False,
         )
 
-        def vcycle(xs, bs, coeff, chol, lam_max):
+        def vcycle(x, b, coeff, chol, lam_max):
             return smapped(
-                xs,
-                bs,
+                x,
+                b,
                 coeff,
                 chol,
                 self.base_elements,
@@ -707,7 +706,7 @@ class ShardedMultigridSolver:
         return vcycle
 
     # -- public ------------------------------------------------------------ #
-    def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
+    def vcycle(self, x, b, coeff, chol=None, lam_max=None):
         if chol is None:
             assert self.coarse_kind not in ("chol", "inv", "mg"), (
                 "pass coarse_setup(sigma, lam) as chol"
@@ -720,7 +719,7 @@ class ShardedMultigridSolver:
             lam_max = jnp.zeros((), dtype=self.dtype)
         else:
             lam_max = jnp.asarray(lam_max, dtype=self.dtype)
-        return self._vcycle(xs, bs, coeff, chol, lam_max)
+        return self._vcycle(x, b, coeff, chol, lam_max)
 
     def estimate_lambda_max(self, coeff, iters: int = 30, seed: int = 0):
         """Sharded power iteration for lambda_max(D^{-1} A) at the finest

@@ -84,6 +84,7 @@ class MultigridSolver:
         coarse_prec_cycles: int = 1,
         coarse_prec_smooth: int = 2,
         coarse_mg_dense_limit: int = 4000,
+        constraint: str = "auto",
     ):
         self.plan = plan
         self.dtype = dtype
@@ -136,6 +137,16 @@ class MultigridSolver:
                 )
                 combine = "gather"
         self.combine_kind = combine
+        # constraint="mask": force the resident [E, n_local] boundary-mask
+        # constraint even with the structured combine. The lattice-mode
+        # homogenization driver uses this to impose the *shrunken* sub-box
+        # Dirichlet condition per outer step: masks live in LevelDevice,
+        # which is a jit ARGUMENT, so swapping them per step needs no
+        # recompile (see models/checkerboard.py lattice mode).
+        assert constraint in ("auto", "mask")
+        self.constraint_kind = (
+            "mask" if (constraint == "mask" or combine != "structured") else "structured"
+        )
 
         # Only the selected combine form's tables go to HBM. At 190M DOFs the
         # finest-level flat slot tables alone are ~0.8 GB and the rowwise
@@ -258,7 +269,7 @@ class MultigridSolver:
                     # the finest-level bool mask alone is ~0.5 GB at 500M
                     # DOFs.
                     boundary_mask=jnp.zeros((0, 0), dtype=bool)
-                    if combine == "structured"
+                    if self.constraint_kind == "structured"
                     else jnp.asarray(lp.boundary_mask != 0),
                     first_copy_mask=jnp.asarray(lp.first_copy_mask != 0),
                     P_up=P_up,
@@ -324,7 +335,11 @@ class MultigridSolver:
                 aux_first_mask=jnp.asarray(g.aux_first_mask, dtype=dtype),
             )
 
-        self._vcycle = jax.jit(self._vcycle_impl)
+        # donate the finest-level x: at 500M+ DOFs the state is ~2 GB and
+        # aliasing it into the output removes one full copy from peak HBM
+        # (CPU ignores donation — skip it there to avoid warning spam)
+        donate = () if jax.default_backend() == "cpu" else (0,)
+        self._vcycle = jax.jit(self._vcycle_impl, donate_argnums=donate)
 
     # ------------------------------------------------------------------ #
     # coefficient / coarse-operator setup (host precompute per outer step)
@@ -382,12 +397,7 @@ class MultigridSolver:
         # inverse global diagonal for the junction Chebyshev (constant per
         # (sigma, lam) — computing it inside the smoother costs an einsum +
         # combine per call)
-        d = jnp.einsum(
-            "ep,pn->en",
-            coeff0,
-            jnp.diagonal(self.levels[0].stack, axis1=1, axis2=2),
-        )
-        diag_g = self._to_global(d)
+        diag_g = self._diag_global(coeff0)
         dinv_g = jnp.where(diag_g > 0, 1.0 / jnp.where(diag_g > 0, diag_g, 1.0), 0.0)
         return dict(
             coeff=coeff_a,
@@ -400,6 +410,17 @@ class MultigridSolver:
             interior_idx=self.aux_solver.interior_idx,
             **self._aux_maps,
         )
+
+    def _diag_global(self, coeff0):
+        """Assembled global diagonal of the level-0 operator, [N]. A setup-
+        time helper (outside the jitted V-cycle); sharded subclasses override
+        with a psum-reduced version."""
+        d = jnp.einsum(
+            "ep,pn->en",
+            coeff0,
+            jnp.diagonal(self.levels[0].stack, axis1=1, axis2=2),
+        )
+        return self._to_global(d, self.base_elements)
 
     # ------------------------------------------------------------------ #
     # device building blocks (traced)
@@ -425,11 +446,29 @@ class MultigridSolver:
         return combine_interfaces(x, L.slot_flat, L.slot_group, self.n_groups[k])
 
     def _constrain(self, x, k, Ls=None):
-        if self.combine_kind == "structured":
+        """Zero-Dirichlet constraint. The form is chosen PER CALL from the
+        level arrays: an empty boundary_mask means the structured shell
+        zeroing (no resident mask); a real mask means the multiply. The
+        lattice-mode driver exploits this: it passes per-outer-step Ls whose
+        masks encode the SHRUNKEN sub-box Dirichlet condition — the shape
+        change retraces the jit, no solver rebuild."""
+        bm = (Ls or self.levels)[k].boundary_mask
+        if bm.size == 0:
             from ..ops.structured import constrain_structured
 
             return constrain_structured(x, self.structured[k], self.row_layout[k])
-        return apply_mask(x, (Ls or self.levels)[k].boundary_mask)
+        return apply_mask(x, bm)
+
+    def _vdot(self, a, b):
+        """Dot product over the duplicated layout. The sharded subclasses
+        override this with a psum-reduced version — every smoother and
+        coarse solve below is then reusable inside shard_map unchanged."""
+        return jnp.vdot(a, b)
+
+    def _assemble_base(self, b0, base_elements):
+        """Accumulate duplicated-layout local contributions onto global base
+        nodes; [E, d+1] -> [N]. Sharded subclasses psum the result."""
+        return copy_to_base(b0, base_elements, self.n_base_nodes)
 
     def _apply_op(self, x, coeff, k, Ls=None):
         return element_apply(
@@ -542,13 +581,13 @@ class MultigridSolver:
         src/multigrid.jl:46-71). Returns (x, r)."""
         r = self._combine(self._local_residual(x, b, coeff, k, Ls), k, Ls)
         p = r
-        rs = jnp.vdot(r, r)
+        rs = self._vdot(r, r)
         for _ in range(steps):
             Ap = self._combine(self._constrain(self._apply_op(p, coeff, k, Ls), k, Ls), k, Ls)
-            alpha = self._safe_div(rs, jnp.vdot(p, Ap))
+            alpha = self._safe_div(rs, self._vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
-            rs_new = jnp.vdot(r, r)
+            rs_new = self._vdot(r, r)
             p = r + self._safe_div(rs_new, rs) * p
             rs = rs_new
         return x, r
@@ -573,16 +612,16 @@ class MultigridSolver:
         w = Ls_[k].first_copy_mask
         r_loc = self._local_residual(x, b, coeff, k, Ls)
         rc = self._combine(r_loc, k, Ls)
-        rs = jnp.vdot(rc * w, rc)
+        rs = self._vdot(rc * w, rc)
         p = rc
         for i in range(steps):
             Ap_loc = self._constrain(self._apply_op(p, coeff, k, Ls), k, Ls)
-            alpha = self._safe_div(rs, jnp.vdot(p, Ap_loc))
+            alpha = self._safe_div(rs, self._vdot(p, Ap_loc))
             x = x + alpha * p
             r_loc = r_loc - alpha * Ap_loc
             if i + 1 < steps:
                 rc = self._combine(r_loc, k, Ls)
-                rs_new = jnp.vdot(rc * w, rc)
+                rs_new = self._vdot(rc * w, rc)
                 p = rc + self._safe_div(rs_new, rs) * p
                 rs = rs_new
         return x, r_loc
@@ -590,7 +629,7 @@ class MultigridSolver:
     def _coarse_solve_chol(self, b0, chol, base_elements, interior_idx):
         """Direct coarse solve (reference: vcycle! k==1 branch,
         src/multigrid.jl:74-93)."""
-        u = copy_to_base(b0, base_elements, self.n_base_nodes)
+        u = self._assemble_base(b0, base_elements)
         b_int = u[interior_idx]
         sol_int = jax.scipy.linalg.cho_solve((chol, True), b_int)
         sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
@@ -599,43 +638,46 @@ class MultigridSolver:
 
     def _coarse_solve_inv(self, b0, Ainv, base_elements, interior_idx):
         """Direct coarse solve by dense-inverse matmul (MXU-friendly)."""
-        u = copy_to_base(b0, base_elements, self.n_base_nodes)
+        u = self._assemble_base(b0, base_elements)
         sol_int = jnp.matmul(Ainv, u[interior_idx], precision=self.apply_precision)
         sol = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
         sol = sol.at[interior_idx].set(sol_int)
         return distribute(sol, base_elements)
 
-    def _to_global(self, y):
+    def _to_global(self, y, base_elements):
         """Sum duplicated-layout local contributions onto global base nodes:
         [E, d+1] -> [N]. Gather by the presorted permutation + one sorted
-        segment_sum — scatter-free (TPU row scatters cost ~17x a gather)."""
+        segment_sum — scatter-free (TPU row scatters cost ~17x a gather).
+        The sharded subclasses override with a per-shard scatter-add + psum
+        (``base_elements`` is their local block; ignored here)."""
         vals = y.reshape(-1)[self._asm_perm]
         return jax.ops.segment_sum(
             vals, self._asm_node, num_segments=self.n_base_nodes
         )
 
-    def _global_apply(self, u, coeff, Ls):
+    def _global_apply(self, u, coeff, Ls, base_elements, m):
         """Assembled level-0 operator on the global node vector: distribute
         (one gather), element apply (tiny MXU matmuls), re-assemble
-        (_to_global), constrain. Same operator the duplicated-layout path
-        applies, without its interface combine."""
+        (_to_global), constrain by the interior-node mask ``m``. Same
+        operator the duplicated-layout path applies, without its interface
+        combine."""
         yd = element_apply(
-            u[self.base_elements], coeff, Ls[0].stack,
+            u[base_elements], coeff, Ls[0].stack,
             precision=self.apply_precision,
         )
-        return self._to_global(yd) * self._interior_mask_N
+        return self._to_global(yd, base_elements) * m
 
-    def _coarse_solve_cg(self, b0, coeff, Ls=None):
+    def _coarse_solve_cg(self, b0, coeff, Ls, base_elements, m):
         """Matrix-free coarse solve: CG on the GLOBAL base-node vector.
 
         Mathematically identical to CG on the duplicated layout with
         first-copy dots (those dots are exactly global-vector dots and the
         operator is the same); state is n_base_nodes floats instead of
         [E, d+1], and each iteration is one gather + segment_sum instead of
-        an interface combine. Scales to base meshes too large to factor."""
-        Ls = Ls or self.levels
-        m = self._interior_mask_N
-        b = self._to_global(b0) * m
+        an interface combine. Scales to base meshes too large to factor.
+        ``m``: [N] interior-node mask (an argument so the lattice-mode
+        driver can shrink the Dirichlet box per outer step, no recompile)."""
+        b = self._to_global(b0, base_elements) * m
         x = jnp.zeros_like(b)
         r = b
         p = r
@@ -644,7 +686,7 @@ class MultigridSolver:
 
         def body(state):
             x, r, p, rs, i = state
-            Ap = self._global_apply(p, coeff, Ls)
+            Ap = self._global_apply(p, coeff, Ls, base_elements, m)
             alpha = self._safe_div(rs, jnp.vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -657,9 +699,9 @@ class MultigridSolver:
             return jnp.logical_and(rs_c > eps2, i < self.coarse_cg_maxiter)
 
         x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
-        return distribute(x, self.base_elements)
+        return distribute(x, base_elements)
 
-    def _coarse_solve_mg(self, b0, coeff, aux, Ls, base_elements):
+    def _coarse_solve_mg(self, b0, coeff, aux, Ls, base_elements, m):
         """Coarse solve via PCG on the exact level-0 operator in the GLOBAL
         base-node space, preconditioned by Chebyshev junction smoothing on
         the exact operator around an aux-hierarchy V-cycle correction
@@ -672,31 +714,21 @@ class MultigridSolver:
         from each operator application (~10 ms each at a 196k-element base —
         this was most of the coarse-solve cost).
         """
-        Ls = Ls or self.levels
-        m = self._interior_mask_N
-        gplan = self.coarse_geom.plan
-        aux_shapes = [
-            (gplan.base.nelements, gplan.n_local(k)) for k in range(gplan.nlevels)
-        ]
-        dinv = aux["dinv_g"]
+        dinv = aux["dinv_g"] * m
         lam_max0 = aux["lam_max0"]
 
         def Aop(u):
-            return self._global_apply(u, coeff, Ls)
+            return self._global_apply(u, coeff, Ls, base_elements, m)
 
         def aux_correct(r):
             # global residual -> aux finest layout in local-contribution
             # form (whole nodal value on the first aux copy) -> aux V-cycle
             b_aux = r[aux["node_map"]] * aux["aux_first_mask"]
-            xs_a = tuple(jnp.zeros(s, r.dtype) for s in aux_shapes)
-            bs_a = (
-                *(jnp.zeros(s, r.dtype) for s in aux_shapes[:-1]),
-                b_aux,
-            )
+            x_a = jnp.zeros_like(b_aux)
             for _ in range(self.coarse_prec_cycles):
-                xs_a, _ = self.aux_solver._vcycle_impl(
-                    xs_a,
-                    bs_a,
+                x_a, _ = self.aux_solver._vcycle_impl(
+                    x_a,
+                    b_aux,
                     aux["coeff"],
                     aux["chol"],
                     aux["Ls"],
@@ -705,7 +737,7 @@ class MultigridSolver:
                     aux["lam_max"],
                 )
             # aux copies are interface-consistent: read any (the first)
-            return xs_a[-1].reshape(-1)[aux["aux_first_flat"]] * m
+            return x_a.reshape(-1)[aux["aux_first_flat"]] * m
 
         lam_min = lam_max0 / self.cheb_ratio
         theta = 0.5 * (lam_max0 + lam_min)
@@ -741,7 +773,7 @@ class MultigridSolver:
                 x1 = cheb(x1, r, nu)
             return x1
 
-        b = self._to_global(b0) * m
+        b = self._to_global(b0, base_elements) * m
         x = jnp.zeros_like(b)
         r = b
         z = prec(r)
@@ -766,31 +798,41 @@ class MultigridSolver:
             return jnp.logical_and(rs_c > eps2, i < self.coarse_mg_maxiter)
 
         x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, rs, 0))
-        return distribute(x, self.base_elements)
+        return distribute(x, base_elements)
 
-    def _vcycle_impl(self, xs, bs, coeff, chol, Ls, base_elements, interior_idx, lam_max=None):
-        """One V-cycle over all levels; returns (xs, r_finest).
+    def _vcycle_impl(self, x_top, b_top, coeff, chol, Ls, base_elements, interior, lam_max=None):
+        """One V-cycle; returns (x_top, r_finest).
+
+        Only the FINEST level's state crosses the jit interface: sub-top
+        xs/bs are pure scratch (zeroed or overwritten every cycle), so they
+        are allocated inside the trace — XLA reuses their buffers freely and
+        they stop counting against peak HBM as persistent I/O (~0.6 GB at
+        the 566M-DOF config that round 2 missed by ~0.5 GB).
 
         `coeff` is a single [E, P] array shared by all levels: the apply
         coefficients depend only on base-element geometry, sigma and lambda
         (the per-level reference stacks differ, the coefficients do not).
         `Ls` is the tuple of LevelDevice pytrees (arguments, not constants).
+        `interior` is the coarse-solve interior payload: node-index array for
+        coarse chol/inv, [N] bool interior-node mask for coarse cg/mg.
         """
-        xs = list(xs)
-        bs = list(bs)
         top = self.nlevels - 1
         exact = self.smoother == "cg_exact"
+        E_loc = x_top.shape[0]
+        xs = [None] * self.nlevels
+        bs = [None] * self.nlevels
+        xs[top], bs[top] = x_top, b_top
 
         def descend(k):
             if k == 0:
                 if self.coarse_kind == "chol":
-                    xs[0] = self._coarse_solve_chol(bs[0], chol, base_elements, interior_idx)
+                    xs[0] = self._coarse_solve_chol(bs[0], chol, base_elements, interior)
                 elif self.coarse_kind == "inv":
-                    xs[0] = self._coarse_solve_inv(bs[0], chol, base_elements, interior_idx)
+                    xs[0] = self._coarse_solve_inv(bs[0], chol, base_elements, interior)
                 elif self.coarse_kind == "mg":
-                    xs[0] = self._coarse_solve_mg(bs[0], coeff, chol, Ls, base_elements)
+                    xs[0] = self._coarse_solve_mg(bs[0], coeff, chol, Ls, base_elements, interior)
                 else:
-                    xs[0] = self._coarse_solve_cg(bs[0], coeff, Ls)
+                    xs[0] = self._coarse_solve_cg(bs[0], coeff, Ls, base_elements, interior)
                 return None
             steps = self.smoothing_steps if k == top else self.coarse_smoothing_steps
             if exact:
@@ -802,7 +844,8 @@ class MultigridSolver:
                 x, _ = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
                 r_local = self._local_residual(x, bs[k], coeff, k, Ls)
             bs[k - 1] = restrict(r_local, Ls[k].P_up)
-            xs[k - 1] = jnp.zeros_like(xs[k - 1])
+            if k - 1 > 0:
+                xs[k - 1] = jnp.zeros((E_loc, Ls[k - 1].stack.shape[1]), x.dtype)
             descend(k - 1)
             x = prolong_add(x, xs[k - 1], Ls[k].P_up)
             if exact:
@@ -816,20 +859,33 @@ class MultigridSolver:
             return r
 
         r_fine = descend(top)
-        return tuple(xs), r_fine
+        return xs[top], r_fine
 
     # ------------------------------------------------------------------ #
     # public API
     # ------------------------------------------------------------------ #
     def zero_states(self):
+        """(x, b) zeros at the finest level — the only level whose state
+        crosses the V-cycle interface (sub-top states are in-trace scratch)."""
         E = self.plan.base.nelements
-        xs = tuple(
-            jnp.zeros((E, self.plan.n_local(k)), dtype=self.dtype)
-            for k in range(self.nlevels)
-        )
-        return xs, xs
+        z = jnp.zeros((E, self.plan.n_local(self.nlevels - 1)), dtype=self.dtype)
+        return z, z
 
-    def vcycle(self, xs, bs, coeff, chol=None, lam_max=None):
+    def _interior_payload(self):
+        return (
+            self.interior_idx
+            if self.coarse_kind in ("chol", "inv")
+            else self._interior_mask_N
+        )
+
+    def vcycle(self, x, b, coeff, chol=None, lam_max=None, Ls=None, interior=None):
+        """One V-cycle: (x, b) -> (x, r_finest), both [E, n_local(finest)].
+
+        ``x`` is donated on accelerator backends — rebind it to the returned
+        value (callers iterating cycles already do).
+        ``Ls`` / ``interior`` override the level arrays / coarse interior
+        payload (the lattice-mode driver swaps per-step Dirichlet masks this
+        way without recompiling)."""
         if chol is None:
             assert self.coarse_kind not in ("chol", "inv", "mg"), (
                 "pass coarse_setup(sigma, lam) as chol"
@@ -838,13 +894,13 @@ class MultigridSolver:
         if self.smoother == "chebyshev":
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         return self._vcycle(
-            xs,
-            bs,
+            x,
+            b,
             coeff,
             chol,
-            tuple(self.levels),
+            tuple(self.levels) if Ls is None else tuple(Ls),
             self.base_elements,
-            self.interior_idx,
+            self._interior_payload() if interior is None else interior,
             lam_max,
         )
 

@@ -67,23 +67,22 @@ def test_mg_coarse_matches_chol_coarse(dim, n, levels, lam):
     ref = MultigridSolver(plan, coarse="chol")
     coeff = ref.coefficients(sigma, lam)
     chol = ref.coarse_cholesky(sigma, lam)
-    xs, bs = ref.zero_states()
-    bs = (*bs[:-1], jnp.asarray(b_np))
+    x, _ = ref.zero_states()
+    b = jnp.asarray(b_np)
 
     mg = MultigridSolver(plan, coarse="mg", coarse_mg_dense_limit=4, coarse_mg_tol=1e-12)
     coeff_m = mg.coefficients(sigma, lam)
     setup_m = mg.coarse_setup(sigma, lam)
-    xs_m, bs_m = mg.zero_states()
-    bs_m = (*bs_m[:-1], jnp.asarray(b_np))
+    x_m, _ = mg.zero_states()
 
     norms = []
     for _ in range(6):
-        xs, r = ref.vcycle(xs, bs, coeff, chol)
-        xs_m, r_m = mg.vcycle(xs_m, bs_m, coeff_m, setup_m)
+        x, r = ref.vcycle(x, b, coeff, chol)
+        x_m, r_m = mg.vcycle(x_m, b, coeff_m, setup_m)
         norms.append(float(mg.residual_norm(r_m)))
 
-    scale = float(jnp.abs(xs[-1]).max())
-    err = float(jnp.abs(xs_m[-1] - xs[-1]).max()) / scale
+    scale = float(jnp.abs(x).max())
+    err = float(jnp.abs(x_m - x).max()) / scale
     # the coarse solves agree to coarse_mg_tol, so the V-cycle iterates do too
     assert err < 1e-9, err
     # and the mg-coarse cycle contracts like the chol-coarse one
@@ -100,18 +99,17 @@ def test_inv_coarse_matches_chol_coarse():
     ref = MultigridSolver(plan, coarse="chol")
     coeff = ref.coefficients(sigma, lam)
     chol = ref.coarse_setup(sigma, lam)
-    xs, bs = ref.zero_states()
-    bs = (*bs[:-1], jnp.asarray(b_np))
+    x, _ = ref.zero_states()
+    b = jnp.asarray(b_np)
 
     inv = MultigridSolver(plan, coarse="inv")
     setup_i = inv.coarse_setup(sigma, lam)
-    xs_i, bs_i = inv.zero_states()
-    bs_i = (*bs_i[:-1], jnp.asarray(b_np))
+    x_i, _ = inv.zero_states()
 
     for _ in range(5):
-        xs, r = ref.vcycle(xs, bs, coeff, chol)
-        xs_i, r_i = inv.vcycle(xs_i, bs_i, coeff, setup_i)
-    err = float(jnp.abs(xs_i[-1] - xs[-1]).max()) / float(jnp.abs(xs[-1]).max())
+        x, r = ref.vcycle(x, b, coeff, chol)
+        x_i, r_i = inv.vcycle(x_i, b, coeff, setup_i)
+    err = float(jnp.abs(x_i - x).max()) / float(jnp.abs(x).max())
     assert err < 1e-11, err
 
 
@@ -124,10 +122,10 @@ def test_mg_coarse_contraction_deep():
     assert g.m == 2
     coeff = mg.coefficients(sigma, 0.0)
     setup = mg.coarse_setup(sigma, 0.0)
-    xs, bs = mg.zero_states()
-    bs = (*bs[:-1], jnp.asarray(b_np))
+    x, _ = mg.zero_states()
+    b = jnp.asarray(b_np)
     norms = []
     for _ in range(8):
-        xs, r = mg.vcycle(xs, bs, coeff, setup)
+        x, r = mg.vcycle(x, b, coeff, setup)
         norms.append(float(mg.residual_norm(r)))
     assert norms[-1] < 1e-4 * norms[0], norms

@@ -81,11 +81,11 @@ def test_baseline_config1_2d_poisson_to_1e8():
     solver = MultigridSolver(plan)
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_cholesky(sigma, 0.0)
-    xs, bs = solver.zero_states()
-    bs = (*bs[:-1], local_unit_rhs(solver))
+    x, _ = solver.zero_states()
+    b = local_unit_rhs(solver)
     history = []
     for _ in range(40):
-        xs, r = solver.vcycle(xs, bs, coeff, chol)
+        x, r = solver.vcycle(x, b, coeff, chol)
         history.append(float(solver.residual_norm(r)))
         if history[-1] <= 1e-8:
             break
@@ -110,14 +110,14 @@ def test_cg_exact_smoother_matches_parity_cg():
         solver = MultigridSolver(plan, smoother=smoother)
         coeff = solver.coefficients(sigma, 0.0)
         chol = solver.coarse_cholesky(sigma, 0.0)
-        xs, bs = solver.zero_states()
-        bs = (*bs[:-1], local_unit_rhs(solver))
+        x, _ = solver.zero_states()
+        b = local_unit_rhs(solver)
         hist = []
         for _ in range(18):
-            xs, r = solver.vcycle(xs, bs, coeff, chol)
+            x, r = solver.vcycle(x, b, coeff, chol)
             hist.append(float(solver.residual_norm(r)))
         assert hist[-1] < 1e-8 * hist[0], (smoother, hist)
-        sols[smoother] = np.asarray(xs[-1])
+        sols[smoother] = np.asarray(x)
 
     err = np.abs(sols["cg"] - sols["cg_exact"]).max()
     assert err < 1e-9, f"solutions diverge: {err}"

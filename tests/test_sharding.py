@@ -38,11 +38,11 @@ def test_sharded_vcycle_matches_single_device(dim, n, levels, coarse):
     ref = MultigridSolver(plan, dtype=jnp.float64, coarse=coarse)
     coeff = ref.coefficients(sigma, lam)
     chol = ref.coarse_cholesky(sigma, lam) if coarse == "chol" else None
-    xs, bs = ref.zero_states()
-    bs = (*bs[:-1], jnp.asarray(b_np))
+    x, _ = ref.zero_states()
+    b = jnp.asarray(b_np)
     for _ in range(3):
-        xs, r = ref.vcycle(xs, bs, coeff, chol)
-    x_single = np.asarray(xs[-1])
+        x, r = ref.vcycle(x, b, coeff, chol)
+    x_single = np.asarray(x)
     r_single = np.asarray(r)
 
     devices = np.array(jax.devices()[:8])
@@ -50,18 +50,18 @@ def test_sharded_vcycle_matches_single_device(dim, n, levels, coarse):
     sh = ShardedMultigridSolver(plan, mesh, dtype=jnp.float64, coarse=coarse)
     coeff_s = sh.coefficients(sigma, lam)
     chol_s = sh.coarse_cholesky(sigma, lam) if coarse == "chol" else None
-    xs_s, bs_s = sh.zero_states()
-    bs_s = (*bs_s[:-1], sh.put(b_np))
+    x_s, _ = sh.zero_states()
+    b_s = sh.put(b_np)
     for _ in range(3):
-        xs_s, r_s = sh.vcycle(xs_s, bs_s, coeff_s, chol_s)
+        x_s, r_s = sh.vcycle(x_s, b_s, coeff_s, chol_s)
 
     E = plan.base.nelements
-    x_sh = np.asarray(xs_s[-1])[:E]
+    x_sh = np.asarray(x_s)[:E]
     err = np.abs(x_sh - x_single).max()
     scale = np.abs(x_single).max()
     assert err < 1e-9 * max(scale, 1.0), f"sharded mismatch {err} vs scale {scale}"
     # padded rows stay inert
-    assert np.all(np.asarray(xs_s[-1])[E:] == 0)
+    assert np.all(np.asarray(x_s)[E:] == 0)
 
 
 def test_sharded_chebyshev_matches_single_device():
@@ -74,10 +74,10 @@ def test_sharded_chebyshev_matches_single_device():
     coeff = ref.coefficients(sigma, lam)
     chol = ref.coarse_cholesky(sigma, lam)
     lam_max = ref.estimate_lambda_max(coeff)
-    xs, bs = ref.zero_states()
-    bs = (*bs[:-1], jnp.asarray(b_np))
+    x, _ = ref.zero_states()
+    b = jnp.asarray(b_np)
     for _ in range(4):
-        xs, r = ref.vcycle(xs, bs, coeff, chol, lam_max=lam_max)
+        x, r = ref.vcycle(x, b, coeff, chol, lam_max=lam_max)
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
     sh = ShardedMultigridSolver(
@@ -88,14 +88,14 @@ def test_sharded_chebyshev_matches_single_device():
     lam_max_s = sh.estimate_lambda_max(coeff_s)
     # the power iteration itself must agree across the shard split
     assert abs(lam_max_s - lam_max) < 1e-9 * abs(lam_max)
-    xs_s, bs_s = sh.zero_states()
-    bs_s = (*bs_s[:-1], sh.put(b_np))
+    x_s, _ = sh.zero_states()
+    b_s = sh.put(b_np)
     for _ in range(4):
-        xs_s, r_s = sh.vcycle(xs_s, bs_s, coeff_s, chol_s, lam_max=lam_max_s)
+        x_s, r_s = sh.vcycle(x_s, b_s, coeff_s, chol_s, lam_max=lam_max_s)
 
     E = plan.base.nelements
-    err = np.abs(np.asarray(xs_s[-1])[:E] - np.asarray(xs[-1])).max()
-    assert err < 1e-9 * max(np.abs(np.asarray(xs[-1])).max(), 1.0), err
+    err = np.abs(np.asarray(x_s)[:E] - np.asarray(x)).max()
+    assert err < 1e-9 * max(np.abs(np.asarray(x)).max(), 1.0), err
 
 
 def test_sharded_mg_coarse_matches_single_device():
@@ -108,10 +108,10 @@ def test_sharded_mg_coarse_matches_single_device():
                           coarse_mg_dense_limit=4, coarse_mg_tol=1e-12)
     coeff = ref.coefficients(sigma, lam)
     setup = ref.coarse_setup(sigma, lam)
-    xs, bs = ref.zero_states()
-    bs = (*bs[:-1], jnp.asarray(b_np))
+    x, _ = ref.zero_states()
+    b = jnp.asarray(b_np)
     for _ in range(3):
-        xs, r = ref.vcycle(xs, bs, coeff, setup)
+        x, r = ref.vcycle(x, b, coeff, setup)
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
     sh = ShardedMultigridSolver(
@@ -120,14 +120,14 @@ def test_sharded_mg_coarse_matches_single_device():
     )
     coeff_s = sh.coefficients(sigma, lam)
     setup_s = sh.coarse_setup(sigma, lam)
-    xs_s, bs_s = sh.zero_states()
-    bs_s = (*bs_s[:-1], sh.put(b_np))
+    x_s, _ = sh.zero_states()
+    b_s = sh.put(b_np)
     for _ in range(3):
-        xs_s, r_s = sh.vcycle(xs_s, bs_s, coeff_s, setup_s)
+        x_s, r_s = sh.vcycle(x_s, b_s, coeff_s, setup_s)
 
     E = plan.base.nelements
-    err = np.abs(np.asarray(xs_s[-1])[:E] - np.asarray(xs[-1])).max()
-    assert err < 1e-9 * max(np.abs(np.asarray(xs[-1])).max(), 1.0), err
+    err = np.abs(np.asarray(x_s)[:E] - np.asarray(x)).max()
+    assert err < 1e-9 * max(np.abs(np.asarray(x)).max(), 1.0), err
 
 
 def test_sharded_driver_sigma_matches_single_device():
