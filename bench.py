@@ -75,12 +75,17 @@ def main():
     # straight from the maintained local residual (same V-cycle quality as
     # the parity smoother — tests/test_multigrid.py — at lower cost)
     smoother = os.environ.get("BENCH_SMOOTHER", "cg_exact")
+    # mixed precision: direction/inner smoothing applies at bf16x3 ("high"),
+    # residuals feeding restriction stay at `precision` (round-3 item;
+    # "highest" here = no mixing)
+    smooth_precision = os.environ.get("BENCH_SMOOTH_PRECISION", precision)
     solver = MultigridSolver(
         plan,
         dtype=dtype,
         coarse=coarse,
         smoother=smoother,
         apply_precision=precision,
+        smooth_precision=smooth_precision,
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
         # 1e-2 keeps the measured 12-cycle contraction unchanged vs 1e-6
@@ -160,6 +165,7 @@ def main():
                     "smoother": smoother,
                     "dtype": "float32",
                     "apply_precision": precision,
+                    "smooth_precision": smooth_precision,
                     "device": str(jax.devices()[0]),
                     "residual_norm": rn,
                 },

@@ -55,3 +55,42 @@ def assemble_laplace(mesh: Mesh, a: float = 1.0, dtype=np.float64) -> sp.csr_mat
     (reference: assemble_matrix(mesh, dot), src/assembly.jl:4-60)."""
     sigma = np.full((mesh.nelements, mesh.dim), a, dtype=dtype)
     return assemble_operator(mesh, sigma, 0.0, dtype)
+
+
+def assemble_matrix(mesh: Mesh, bf, dtype=np.float64) -> sp.csr_matrix:
+    """Generic P1 bilinear-form assembly with an arbitrary integrand
+    (capability parity with the reference's `assemble_matrix(mesh, bf)`,
+    src/assembly.jl:4-60, whose `bf(∇u, ∇v)` closure is evaluated per
+    quadrature point with physical gradients).
+
+    ``bf(gu, gv, x)`` must be NumPy-vectorized over leading axes: ``gu``/
+    ``gv`` are [..., d] physical basis gradients, ``x`` is the [..., d]
+    quadrature point position; returns the [...] integrand values. For P1
+    the gradients are element-constant, so x-independent forms (e.g.
+    ``lambda gu, gv, x: (gu * gv).sum(-1)``) integrate exactly; an
+    x-dependent coefficient is sampled at the simplex quadrature rule of
+    fem/quadrature.py (degree-2 exact).
+    """
+    from .quadrature import basis_gradients, quad_rule
+
+    d = mesh.dim
+    N = d + 1
+    pts, wq = quad_rule(d)  # [Q, d], [Q]
+    J, shift, detJ, Jinv = affine_maps(mesh)
+    # physical gradients J^{-T} grad_ref: [E, N, d] (element-constant for P1)
+    G = np.einsum("ekd,kn->end", Jinv, basis_gradients(d)).astype(dtype)
+    # physical quadrature points [E, Q, d]
+    X = np.einsum("eij,qj->eqi", J, pts) + shift[:, None, :]
+    E = mesh.nelements
+    Q = len(wq)
+    gu = np.broadcast_to(G[:, None, :, None, :], (E, Q, N, N, d))
+    gv = np.broadcast_to(G[:, None, None, :, :], (E, Q, N, N, d))
+    xq = np.broadcast_to(X[:, :, None, None, :], (E, Q, N, N, d))
+    vals = np.asarray(bf(gu, gv, xq), dtype=dtype)  # [E, Q, N, N]
+    A_loc = np.einsum("q,eqij,e->eij", wq, vals, detJ)
+    el = mesh.elements
+    rows = np.broadcast_to(el[:, :, None], (E, N, N)).ravel()
+    cols = np.broadcast_to(el[:, None, :], (E, N, N)).ravel()
+    return sp.coo_matrix(
+        (A_loc.ravel(), (rows, cols)), shape=(mesh.nnodes,) * 2
+    ).tocsr()

@@ -168,10 +168,19 @@ def _make_solver(plan, device_mesh, dtype, smoothing_steps, coarse, coarse_dense
     )
 
 
-def _integrals_fns(mass: jnp.ndarray, detJ: jnp.ndarray):
+def _integrals_fns(mass: jnp.ndarray, detJ: jnp.ndarray, reference_quirk: bool | None = None):
     """Jitted integral kernels closed over the finest reference mass matrix
-    and the per-element |det J| (homogenized_coefficients.jl:592-713)."""
+    and the per-element |det J| (homogenized_coefficients.jl:592-713).
+
+    ``reference_quirk``: the reference's integrate_first_term (:592-632)
+    multiplies the b0 part — which already carries detJ — by detJ AGAIN; on
+    the drivers' unit checkerboard cells detJ == 1 so the two formulas
+    agree, and True replicates the reference bit for bit. On non-unit cells
+    the quirk formula is wrong, so the default (None) auto-selects: parity
+    when all detJ == 1, the corrected integral otherwise."""
     mass_total = jnp.sum(mass)
+    if reference_quirk is None:
+        reference_quirk = bool(np.allclose(np.asarray(detJ), 1.0))
 
     @jax.jit
     def area(mask):
@@ -181,13 +190,15 @@ def _integrals_fns(mass: jnp.ndarray, detJ: jnp.ndarray):
     @jax.jit
     def first_term(x, b0, mask):
         # sum_e mask_e detJ_e sum_i x[e,i] (b0[e,i] + (M x)[e,i])
-        # (integrate_first_term, :592-632; note the reference multiplies the
-        # b0 part — which already carries detJ — by detJ again; on the unit
-        # checkerboard cells detJ == 1 so the two agree. We replicate the
-        # reference formula exactly for parity.)
+        # (integrate_first_term, :592-632)
         Mx = jnp.einsum("mn,en->em", mass, x, precision=_PRECISION)
-        s = jnp.sum(x * (b0 + Mx), axis=1)
-        return jnp.vdot(s * detJ, mask)
+        if reference_quirk:
+            s = jnp.sum(x * (b0 + Mx), axis=1)
+            return jnp.vdot(s * detJ, mask)
+        # corrected: b0 already carries detJ (initial_rhs folds it in)
+        return jnp.vdot(jnp.sum(x * b0, axis=1), mask) + jnp.vdot(
+            jnp.sum(x * Mx, axis=1) * detJ, mask
+        )
 
     @jax.jit
     def terms(x, v_prev, mask):
@@ -245,6 +256,7 @@ def checkerboard_homogenization(
     solver: str = "vcycle",
     lanczos_iters: int = 120,
     geometry: str = "ordered",
+    lattice_order: str | None = None,
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -296,6 +308,7 @@ def checkerboard_homogenization(
             save_level=save_level, save_prefix=save_prefix,
             checkpoint_dir=checkpoint_dir, resume_from=resume_from,
             device_mesh=device_mesh, smoother=smoother, shrink=shrink,
+            lattice_order=lattice_order,
         )
     assert geometry == "ordered", geometry
     lam = 1.0
@@ -504,7 +517,7 @@ def _checkerboard_lattice(
     n, dim, refinements, smoothing_steps, tolerance, xi, cond_field, seed,
     dtype, coarse, coarse_dense_limit, max_cycles, verbose, return_trace,
     save_level, save_prefix, checkpoint_dir, resume_from, device_mesh,
-    smoother, shrink,
+    smoother, shrink, lattice_order=None,
 ):
     """Lattice-geometry recurrence: one full-box plan and ONE solver for the
     whole run; domain shrinking is pad-and-mask. Per outer step only the
@@ -543,8 +556,11 @@ def _checkerboard_lattice(
         xi = resume_state["xi"]
 
     # cube-major order for slab sharding; type-major single-chip (the
-    # combined tail reassembles without the 6->8-padded interleave stack)
-    order = "cube" if device_mesh is not None else "type"
+    # combined tail reassembles without the 6->8-padded interleave stack).
+    # ``lattice_order`` overrides (tests pin it so the single-device and
+    # slab-sharded runs see identical element order -> identical random
+    # inits -> sigma comparable at 1e-9 instead of solve-tolerance level)
+    order = lattice_order or ("cube" if device_mesh is not None else "type")
     base = hypercube(dim, 2 * R0, origin=-np.full(dim, float(R0)), order=order)
     offset = np.full(dim, float(R0))
     sigma_el = conductivity_per_element(base, cond_field, offset)

@@ -61,6 +61,7 @@ def homogenization_multishift(
     dtype=None,
     mass_tol: float = 1e-12,
     return_stats: bool = False,
+    two_pass: bool = False,
 ):
     """Fixed-domain homogenization recurrence via ONE Lanczos pass.
 
@@ -83,9 +84,16 @@ def homogenization_multishift(
     of the estimator); sigma increments use the same box masks, integrals
     and 2^k scaling as the driver.
 
-    Memory: keeps the m Lanczos vectors ([m, E, n_local]) to reconstruct
-    the v_k — intended for the moderate fixed-domain sizes of BASELINE
-    config 4, not the 1e9-DOF regime.
+    Memory: by default keeps the m Lanczos vectors ([m, E, n_local]) to
+    reconstruct the v_k — fine for moderate fixed domains. ``two_pass=True``
+    stores NO basis: pass 1 runs the recurrence collecting only the scalar
+    tridiagonal (alphas, betas); the per-step coefficient vectors y_k are
+    then solved on host, and pass 2 re-runs the identical recurrence,
+    accumulating v_k = sum_j y_k[j] V_j into K+1 running state arrays.
+    Storage drops from m (~120) state arrays to K+2 (~5), at 2x the
+    mat-vec count — the variant that scales BASELINE config 4 beyond toy
+    domains (round-2 verdict item 10). Both modes are bit-identical in
+    exact arithmetic and agree to ~1e-12 in f64 (tested).
     """
     import jax
 
@@ -158,44 +166,99 @@ def homogenization_multishift(
         return x
 
     # ---- generalized Lanczos in the M-inner product -----------------------
-    q0 = Msolve(b0c)
-    beta0 = np.sqrt(dot_M(q0, q0))
-    v = q0 / beta0
-    v_prev = jnp.zeros_like(v)
-    V = [v]
-    alphas, betas = [], []
-    beta_j = 0.0
-    for _ in range(lanczos_iters):
-        u = Msolve(Aop(v))  # M^{-1} A v
-        alpha = dot_M(u, v)  # = v' A v
-        u = u - alpha * v - beta_j * v_prev
-        beta_next = np.sqrt(max(dot_M(u, u), 0.0))
-        alphas.append(alpha)
-        if beta_next <= 1e-300:
-            break
-        betas.append(beta_next)
-        v_prev, v = v, u / beta_next
-        V.append(v)
-        beta_j = beta_next
-    m = len(alphas)
-    V = jnp.stack(V[:m])  # [m, E, n_local]
-    T = np.diag(np.array(alphas))
-    if m > 1:
-        off = np.array(betas[: m - 1])
-        T += np.diag(off, 1) + np.diag(off, -1)
+    def run_lanczos(consume, max_iters):
+        """One sweep of the M-inner-product Lanczos recurrence; calls
+        ``consume(j, v_j)`` as each basis vector appears. Returns
+        (beta0, alphas, betas). Re-running with the same inputs reproduces
+        the identical sequence (pure jitted device math + deterministic
+        host scalars), which is what licenses the two-pass mode."""
+        alphas, betas = [], []
+        q0 = Msolve(b0c)
+        beta0_ = np.sqrt(dot_M(q0, q0))
+        v = q0 / beta0_
+        v_prev = jnp.zeros_like(v)
+        consume(0, v)
+        beta_j = 0.0
+        for j in range(max_iters):
+            u = Msolve(Aop(v))  # M^{-1} A v
+            alpha = dot_M(u, v)  # = v' A v
+            u = u - alpha * v - beta_j * v_prev
+            beta_next = np.sqrt(max(dot_M(u, u), 0.0))
+            alphas.append(alpha)
+            if beta_next <= 1e-300:
+                break
+            betas.append(beta_next)
+            v_prev, v = v, u / beta_next
+            consume(j + 1, v)
+            beta_j = beta_next
+        return beta0_, alphas, betas
 
-    # ---- recurrence in the reduced space + sigma integrals ----------------
-    def reconstruct(y):
-        return jnp.einsum("i,ien->en", jnp.asarray(y, dtype=dtype), V)
+    def tridiag(alphas, betas, m):
+        T = np.diag(np.array(alphas[:m]))
+        if m > 1:
+            off = np.array(betas[: m - 1])
+            T += np.diag(off, 1) + np.diag(off, -1)
+        return T
 
+    def coefficient_vectors(T, beta0_, m):
+        """Host-side reduced recurrence: y_0 = (T + lam_0)^{-1} beta0 e1,
+        y_k = lam_k (T + lam_k)^{-1} y_{k-1}, one per executed step."""
+        ys = []
+        lam_r = 1.0
+        box_r = compute_box_radius(0, n)
+        e1 = np.zeros(m)
+        e1[0] = beta0_
+        y = np.linalg.solve(T + lam_r * np.eye(m), e1)
+        ys.append(y)
+        for k in range(n + 1):
+            lam_r /= 2.0
+            box_r = compute_box_radius(k + 1, n)
+            if box_r + compute_boundary_layer(lam_r, n) > R0:
+                break
+            y = lam_r * np.linalg.solve(T + lam_r * np.eye(m), y)
+            ys.append(y)
+        return ys
+
+    if not two_pass:
+        V = []
+        beta0, alphas, betas = run_lanczos(
+            lambda j, v: V.append(v), lanczos_iters
+        )
+        m = len(alphas)
+        V = jnp.stack(V[:m])  # [m, E, n_local]
+        T = tridiag(alphas, betas, m)
+        ys = coefficient_vectors(T, beta0, m)
+        vks = [
+            jnp.einsum("i,ien->en", jnp.asarray(y, dtype=dtype), V) for y in ys
+        ]
+    else:
+        # pass 1: scalars only — no basis storage
+        beta0, alphas, betas = run_lanczos(lambda j, v: None, lanczos_iters)
+        m = len(alphas)
+        T = tridiag(alphas, betas, m)
+        ys = coefficient_vectors(T, beta0, m)
+        Y = np.stack([y for y in ys])  # [K+1, m]
+        # pass 2: regenerate the identical basis, accumulate K+1 sums
+        sums = [None] * len(ys)
+
+        def accumulate(j, v):
+            for k2 in range(len(sums)):
+                c = jnp.asarray(Y[k2, j], dtype=dtype)
+                sums[k2] = c * v if sums[k2] is None else sums[k2] + c * v
+
+        # m - 1 iterations regenerate exactly v_0 .. v_{m-1}
+        beta0_2, _, _ = run_lanczos(accumulate, m - 1)
+        assert abs(beta0_2 - beta0) < 1e-12 * max(abs(beta0), 1e-300), (
+            "two-pass Lanczos did not reproduce pass 1"
+        )
+        vks = sums
+    stats["lanczos_iters"] = m
+
+    # ---- sigma integrals over the reduced-space recurrence -----------------
     sigma = 0.0
     sigma_steps = []
-    e1 = np.zeros(m)
-    e1[0] = beta0
-    y = np.linalg.solve(T + lam * np.eye(m), e1)  # y_0
-    v_k = reconstruct(y)
     v_km1 = None
-    for k in range(n + 1):
+    for k, v_k in enumerate(vks):
         n_box = prefix_in_radius(center_norms, box_radius)
         mask = jnp.asarray(
             (np.arange(base.nelements) < n_box).astype(np.float64), dtype=dtype
@@ -207,16 +270,11 @@ def homogenization_multishift(
             integral = float(terms_fn(v_k, v_km1, mask))
         sigma += 2.0**k * integral / area
         sigma_steps.append(sigma)
-
         lam /= 2.0
         box_radius = compute_box_radius(k + 1, n)
-        if box_radius + compute_boundary_layer(lam, n) > R0:
-            break
-        y = lam * np.linalg.solve(T + lam * np.eye(m), y)
-        v_km1, v_k = v_k, reconstruct(y)
+        v_km1 = v_k
 
     if return_stats:
-        stats["lanczos_iters"] = m
         stats["sigma_steps"] = sigma_steps
         return sigma, stats
     return sigma

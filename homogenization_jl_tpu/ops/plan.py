@@ -234,16 +234,20 @@ def _class_tables(elements, local_table, nodes_of_local, build_slots=True):
         ie = inode = igroup = np.empty(0, dtype=np.int64)
 
     # Non-first copies (for zero_out_all_but_one): every shared occurrence
-    # except the first per cell.
+    # except the first per cell — kept at CELL granularity (one (elem,
+    # local) pair per occurrence); the per-DOF mask is filled by column-
+    # block broadcast in build_grid_plan (the old per-DOF np.repeat
+    # expansion was ~1/3 of the whole plan-build time, profiled at n=32).
     nf_occ = _ranges(shared_starts + 1, shared_counts - 1)
     if m > 0 and len(nf_occ):
-        nfe, nfnode = expand(nf_occ)
+        nf_e = elem[order[nf_occ]]
+        nf_l = local[order[nf_occ]]
     else:
-        nfe = nfnode = np.empty(0, dtype=np.int64)
+        nf_e = nf_l = np.empty(0, dtype=np.int64)
 
     return {
         "iface": (ie, inode, igroup, n_groups),
-        "nonfirst": (nfe, nfnode),
+        "nonfirst_cells": (nf_e, nf_l),
         "cells": cells,
         "elem": elem,
         "local": local,
@@ -254,16 +258,31 @@ def _class_tables(elements, local_table, nodes_of_local, build_slots=True):
 
 
 def _rows_in(rows: np.ndarray, table: np.ndarray) -> np.ndarray:
-    """Boolean mask: which `rows` occur in (sorted-unique) `table`."""
+    """Boolean mask: which `rows` occur in (sorted-unique) `table`.
+
+    ``table`` is small (boundary cells, O(surface)); sort ITS keys and
+    binary-search the big side — np.isin would argsort the O(volume) rows
+    (~13 s of the n=32 5-level plan build, profiled)."""
     if len(table) == 0 or len(rows) == 0:
         return np.zeros(len(rows), dtype=bool)
-    # Encode tuples as flat keys (node ids < 2^31, widths <= 3 -> fits int64
-    # only for 2 columns; use structured void view for generality).
-    def keyify(a):
-        a = np.ascontiguousarray(a.astype(np.int64))
-        return a.view([("", np.int64)] * a.shape[1]).ravel()
 
-    return np.isin(keyify(rows), keyify(table))
+    both_max = max(int(rows.max()), int(table.max()))
+    # pack each row into one int64 with a radix common to both sides
+    def keyify_common(a):
+        a = np.ascontiguousarray(a.astype(np.int64))
+        base_v = both_max + 1
+        assert base_v ** a.shape[1] < 2**63, "row keys overflow int64"
+        k = a[:, 0].copy()
+        for c in range(1, a.shape[1]):
+            k *= base_v
+            k += a[:, c]
+        return k
+
+    tk = np.sort(keyify_common(table))
+    rk = keyify_common(rows)
+    pos = np.searchsorted(tk, rk)
+    pos_c = np.minimum(pos, len(tk) - 1)
+    return tk[pos_c] == rk
 
 
 def build_grid_plan(
@@ -336,6 +355,19 @@ def build_grid_plan(
         slot_e, slot_n, slot_g = [], [], []
         nonfirst_e, nonfirst_n = [], []
         group_offset = 0
+        first_mask = np.ones((E, n_local), dtype=bool)
+
+        def contig_cols(lnodes_):
+            """Per-local-cell start columns when each cell's DOF columns are
+            consecutive (the contiguous-interface layout), else None."""
+            if lnodes_.shape[1] == 0:
+                return None
+            c0s = lnodes_[:, 0]
+            if np.array_equal(
+                lnodes_, c0s[:, None] + np.arange(lnodes_.shape[1])
+            ):
+                return c0s
+            return None
         # bool masks: a [196608, 969] f64 ones() alone costs ~1.5 GB of
         # allocation+fill per mask per level (profiled); consumers multiply
         # or compare, which bool serves directly
@@ -360,10 +392,21 @@ def build_grid_plan(
                 slot_n.append(inode)
                 slot_g.append(igroup + group_offset)
             group_offset += ng
-            nfe, nfn = tabs["nonfirst"]
-            if m > 0 and len(nfe):
-                nonfirst_e.append(nfe)
-                nonfirst_n.append(nfn)
+            nf_e, nf_l = tabs["nonfirst_cells"]
+            L_cells = ltab.shape[0]
+            ccols = contig_cols(lnodes) if m > 0 else None
+            if m > 0 and len(nf_e):
+                if ccols is not None:
+                    # cell-granular mask -> per-class column-block broadcast
+                    fm_cell = np.ones((E, L_cells), dtype=bool)
+                    fm_cell[nf_e, nf_l] = False
+                    for l in range(L_cells):
+                        first_mask[:, ccols[l] : ccols[l] + m] = fm_cell[
+                            :, l : l + 1
+                        ]
+                else:  # non-contiguous layout: per-DOF expansion fallback
+                    nonfirst_e.append(np.repeat(nf_e, m))
+                    nonfirst_n.append(lnodes[nf_l].ravel())
 
             # ---- row-granular form ------------------------------------
             order, starts, counts = tabs["order"], tabs["starts"], tabs["counts"]
@@ -439,7 +482,15 @@ def build_grid_plan(
                 occ = np.flatnonzero(is_bnd)
                 be = tabs["elem"][occ]
                 bl = tabs["local"][occ]
-                bmask[np.repeat(be, m), lnodes[bl].ravel()] = 0.0
+                if ccols is not None:
+                    bd_cell = np.zeros((E, L_cells), dtype=bool)
+                    bd_cell[be, bl] = True
+                    for l in range(L_cells):
+                        bmask[:, ccols[l] : ccols[l] + m] = ~bd_cell[
+                            :, l : l + 1
+                        ]
+                else:
+                    bmask[np.repeat(be, m), lnodes[bl].ravel()] = 0.0
 
         if slot_e:
             combine = CombineTable(
@@ -452,8 +503,7 @@ def build_grid_plan(
             z = np.empty(0, dtype=np.int32)
             combine = CombineTable(z, z, z, 0)
 
-        first_mask = np.ones((E, n_local), dtype=bool)
-        if nonfirst_e:
+        if nonfirst_e:  # non-contiguous-layout fallback lists
             first_mask[
                 np.concatenate(nonfirst_e), np.concatenate(nonfirst_n)
             ] = 0.0

@@ -85,6 +85,7 @@ class MultigridSolver:
         coarse_prec_smooth: int = 2,
         coarse_mg_dense_limit: int = 4000,
         constraint: str = "auto",
+        smooth_precision=None,
     ):
         self.plan = plan
         self.dtype = dtype
@@ -104,6 +105,17 @@ class MultigridSolver:
             apply_precision
             if apply_precision is not None
             else jax.lax.Precision.HIGHEST
+        )
+        # Mixed-precision smoothing (f32 state): direction/inner applies run
+        # at `smooth_precision` (e.g. "high" = bf16x3, ~2x the MXU rate of
+        # HIGHEST = 6-pass f32 emulation) while the residuals that feed
+        # restriction stay at `apply_precision`. cg_exact recomputes its
+        # entry residual at full precision each smooth, so the bf16x3
+        # direction error (~1e-5 relative) perturbs the V-cycle instead of
+        # accumulating — the classic mixed-precision MG arrangement (the
+        # remaining 2x identified in round 2, PERFORMANCE.md).
+        self.smooth_precision = (
+            smooth_precision if smooth_precision is not None else self.apply_precision
         )
 
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
@@ -470,15 +482,18 @@ class MultigridSolver:
         nodes; [E, d+1] -> [N]. Sharded subclasses psum the result."""
         return copy_to_base(b0, base_elements, self.n_base_nodes)
 
-    def _apply_op(self, x, coeff, k, Ls=None):
+    def _apply_op(self, x, coeff, k, Ls=None, precision=None):
         return element_apply(
-            x, coeff, (Ls or self.levels)[k].stack, precision=self.apply_precision
+            x, coeff, (Ls or self.levels)[k].stack,
+            precision=precision if precision is not None else self.apply_precision,
         )
 
-    def _local_residual(self, x, b, coeff, k, Ls=None):
+    def _local_residual(self, x, b, coeff, k, Ls=None, precision=None):
         """r = constrain(b - A x) (reference: local_residual!,
         src/apply_local_operators.jl:7-27)."""
-        return self._constrain(b - self._apply_op(x, coeff, k, Ls), k, Ls)
+        return self._constrain(
+            b - self._apply_op(x, coeff, k, Ls, precision=precision), k, Ls
+        )
 
     @staticmethod
     def _safe_div(num, den):
@@ -550,17 +565,24 @@ class MultigridSolver:
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
 
-        def residual(x):
-            return self._combine(self._local_residual(x, b, coeff, k, Ls), k, Ls)
+        def residual(x, precision=None):
+            return self._combine(
+                self._local_residual(x, b, coeff, k, Ls, precision=precision),
+                k, Ls,
+            )
 
-        r = residual(x)
+        # inner residuals drive only the polynomial update — run them at the
+        # (possibly reduced) smoothing precision; the exit residual feeds
+        # restriction and stays at full apply precision
+        sp = self.smooth_precision
+        r = residual(x, sp)
         z = dinv * r
         p = (1.0 / theta) * z
         x = x + p
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(steps - 1):
-            r = residual(x)
+            r = residual(x, sp)
             z = dinv * r
             rho_new = 1.0 / (2.0 * sigma - rho)
             p = rho_new * rho * p + (2.0 * rho_new / delta) * z
@@ -583,7 +605,13 @@ class MultigridSolver:
         p = r
         rs = self._vdot(r, r)
         for _ in range(steps):
-            Ap = self._combine(self._constrain(self._apply_op(p, coeff, k, Ls), k, Ls), k, Ls)
+            Ap = self._combine(
+                self._constrain(
+                    self._apply_op(p, coeff, k, Ls, precision=self.smooth_precision),
+                    k, Ls,
+                ),
+                k, Ls,
+            )
             alpha = self._safe_div(rs, self._vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -610,12 +638,18 @@ class MultigridSolver:
         """
         Ls_ = Ls or self.levels
         w = Ls_[k].first_copy_mask
+        # entry residual at full apply precision: recomputed fresh each
+        # smooth, it bounds the drift the HIGH-precision direction applies
+        # can feed into the restricted residual
         r_loc = self._local_residual(x, b, coeff, k, Ls)
         rc = self._combine(r_loc, k, Ls)
         rs = self._vdot(rc * w, rc)
         p = rc
         for i in range(steps):
-            Ap_loc = self._constrain(self._apply_op(p, coeff, k, Ls), k, Ls)
+            Ap_loc = self._constrain(
+                self._apply_op(p, coeff, k, Ls, precision=self.smooth_precision),
+                k, Ls,
+            )
             alpha = self._safe_div(rs, self._vdot(p, Ap_loc))
             x = x + alpha * p
             r_loc = r_loc - alpha * Ap_loc

@@ -29,7 +29,8 @@ for n in (16, 32, 48, 56):
     base = hypercube(3, n)
     t_mesh = time.perf_counter() - t0
     t0 = time.perf_counter()
-    plan = build_grid_plan(base, levels)
+    # production path (bench + lattice driver): no flat slot tables
+    plan = build_grid_plan(base, levels, slot_tables=False)
     t_plan = time.perf_counter() - t0
     t0 = time.perf_counter()
     scs = [build_structured_combine(plan, k) for k in range(levels)]

@@ -138,10 +138,13 @@ def test_homogenization_2d_deterministic_and_plausible():
     assert 0.5 < s1 < 4.0
 
 
-def test_homogenization_k0_against_direct_solve():
+@pytest.mark.parametrize("geometry", ["ordered", "lattice"])
+def test_homogenization_k0_against_direct_solve(geometry):
     """For k=0 the recurrence computes sigma_0 = int v0 (b-density + M v0) /
     area with (lam - div a grad) v0 = -div(a xi). Solve the same problem
-    directly on the explicit mesh and compare the integral."""
+    directly on the explicit mesh and compare the integral. The oracle is
+    geometry-independent, so it gates BOTH drivers: the reference-parity
+    ordered/prefix-shrink one and the lattice pad-and-mask one."""
     dim, n_exp, refinements = 2, 2, 1
     tol = 1e-10
     sig, trace = checkerboard_homogenization(
@@ -152,6 +155,7 @@ def test_homogenization_k0_against_direct_solve():
         seed=11,
         max_cycles=300,
         return_trace=True,
+        geometry=geometry,
     )
 
     # replicate setup
@@ -238,7 +242,8 @@ def _coord_key(a, dim):
     )
 
 
-def test_homogenization_k1_against_direct_solve(monkeypatch):
+@pytest.mark.parametrize("geometry", ["ordered", "lattice"])
+def test_homogenization_k1_against_direct_solve(monkeypatch, geometry):
     """Two-step recurrence oracle: v1 computed by a direct sparse solve of
     (lam/2 M + A) v1 = lam/2 M v0 on the explicitly refined shrunken mesh
     must reproduce the driver's Delta-sigma_1 (integrate_terms + next_rhs +
@@ -266,6 +271,7 @@ def test_homogenization_k1_against_direct_solve(monkeypatch):
         seed=13,
         max_cycles=400,
         return_trace=True,
+        geometry=geometry,
     )
     assert len(trace.sigma_steps) >= 2, "schedule did not reach a k=1 step"
 
@@ -343,3 +349,29 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
         2, resume_from=str(tmp_path / "step_0.npz"), **kwargs
     )
     assert resumed == full
+
+
+def test_lattice_checkpoint_resume(tmp_path):
+    kwargs = dict(dim=2, refinements=1, tolerance=1e-4, seed=23,
+                  geometry="lattice")
+    full = checkerboard_homogenization(2, checkpoint_dir=str(tmp_path), **kwargs)
+    resumed = checkerboard_homogenization(
+        2, resume_from=str(tmp_path / "step_0.npz"), **kwargs
+    )
+    assert resumed == full
+
+
+def test_lattice_sharded_driver_matches_single():
+    """geometry='lattice' + device_mesh runs the slab solver end to end and
+    reproduces the single-device lattice sigma (the sharded flagship)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    # lattice_order pinned so both runs share element order -> identical
+    # random inits -> sigma comparable at 1e-9 (not just solve tolerance)
+    kwargs = dict(dim=2, refinements=1, tolerance=1e-6, seed=29,
+                  max_cycles=100, geometry="lattice", lattice_order="cube")
+    s1 = checkerboard_homogenization(2, **kwargs)
+    s8 = checkerboard_homogenization(2, device_mesh=mesh, **kwargs)
+    assert abs(s8 - s1) < 1e-9 * abs(s1), (s1, s8)

@@ -52,3 +52,18 @@ def test_multishift_dispatch_from_driver(small_schedule):
 
     s2 = homogenization_multishift(1, dim=2, refinements=1, lanczos_iters=60, seed=3)
     assert s1 == s2
+
+
+def test_two_pass_matches_one_pass():
+    """two_pass=True (no stored Lanczos basis: scalar pass + accumulation
+    pass) reproduces the stored-basis recurrence bit for bit — the variant
+    that lifts the [m, E, n_local] storage cap (round-2 verdict item 10)."""
+    from homogenization_jl_tpu.models.multishift import homogenization_multishift
+
+    kw = dict(dim=2, refinements=1, lanczos_iters=25, seed=3, return_stats=True)
+    s1, st1 = homogenization_multishift(1, **kw)
+    s2, st2 = homogenization_multishift(1, two_pass=True, **kw)
+    assert s1 == s2, (s1, s2)
+    assert st1["lanczos_iters"] == st2["lanczos_iters"]
+    # pass 2 re-runs the mat-vec stream: ~2x applies, O(K) state arrays
+    assert st2["A_applies"] < 2 * st1["A_applies"] + 2
