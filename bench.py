@@ -78,7 +78,7 @@ def main():
     # mixed precision: direction/inner smoothing applies at bf16x3 ("high"),
     # residuals feeding restriction stay at `precision` (round-3 item;
     # "highest" here = no mixing)
-    smooth_precision = os.environ.get("BENCH_SMOOTH_PRECISION", precision)
+    smooth_precision = os.environ.get("BENCH_SMOOTH_PRECISION", "high")
     solver = MultigridSolver(
         plan,
         dtype=dtype,
@@ -88,9 +88,9 @@ def main():
         smooth_precision=smooth_precision,
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
-        # 1e-2 keeps the measured 12-cycle contraction unchanged vs 1e-6
-        # (PERFORMANCE.md round 2) — MG only needs a modest coarse solve
-        coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 1e-2)),
+                # 5e-2 keeps the 12-cycle contraction unchanged vs 1e-6 (round 3;
+        # 0.003198 vs 0.003189) — MG only needs a modest coarse solve
+        coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 5e-2)),
     )
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_setup(sigma, 0.0)

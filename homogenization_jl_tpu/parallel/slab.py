@@ -123,6 +123,15 @@ class SlabShardedMultigridSolver(MultigridSolver):
             )
         return x * bm
 
+    def _combine_constrained(self, x, k, Ls=None):
+        bm = (Ls or self.levels)[k].boundary_mask
+        if bm.size == 0:
+            return combine_structured_slab(
+                x, self.structured[k], self.row_layout[k], self.W,
+                self.n_shards, AXIS, constrain=True,
+            )
+        return self._combine(x, k, Ls) * bm
+
     def _to_global(self, y, base_elements):
         u = jnp.zeros((self.n_base_nodes,), y.dtype)
         u = u.at[base_elements.reshape(-1)].add(y.reshape(-1))

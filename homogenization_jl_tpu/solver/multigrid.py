@@ -471,6 +471,27 @@ class MultigridSolver:
             return constrain_structured(x, self.structured[k], self.row_layout[k])
         return apply_mask(x, bm)
 
+    def _combine_constrained(self, x, k, Ls=None):
+        """combine(constrain(x)) in one pass where the structured form
+        exists: the fold zeroes boundary GROUPS of the orbit sums, which
+        equals constraining first (every copy of a boundary DOF is zeroed)
+        — one full-state pass fewer than the two-op form. The cg_exact /
+        chebyshev smoothers skip their separate constrain entirely under a
+        structured constraint: boundary rows of the local residual become
+        dead values that (a) this fold zeroes wherever dots/updates read
+        them, and (b) restriction provably sends only to coarse-boundary
+        rows (a fine boundary DOF's P stencil lies on the same boundary
+        face), which the next level's constraint kills — the x-trajectory
+        is bitwise unchanged (tested against the parity smoother)."""
+        bm = (Ls or self.levels)[k].boundary_mask
+        if bm.size == 0:
+            from ..ops.structured import combine_structured
+
+            return combine_structured(
+                x, self.structured[k], self.row_layout[k], constrain=True
+            )
+        return apply_mask(self._combine(x, k, Ls), bm)
+
     def _vdot(self, a, b):
         """Dot product over the duplicated layout. The sharded subclasses
         override this with a psum-reduced version — every smoother and
@@ -565,7 +586,14 @@ class MultigridSolver:
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
 
+        structured = L.boundary_mask.size == 0
+
         def residual(x, precision=None):
+            if structured:
+                return self._combine_constrained(
+                    b - self._apply_op(x, coeff, k, Ls, precision=precision),
+                    k, Ls,
+                )
             return self._combine(
                 self._local_residual(x, b, coeff, k, Ls, precision=precision),
                 k, Ls,
@@ -638,23 +666,30 @@ class MultigridSolver:
         """
         Ls_ = Ls or self.levels
         w = Ls_[k].first_copy_mask
+        structured = Ls_[k].boundary_mask.size == 0
         # entry residual at full apply precision: recomputed fresh each
         # smooth, it bounds the drift the HIGH-precision direction applies
-        # can feed into the restricted residual
-        r_loc = self._local_residual(x, b, coeff, k, Ls)
-        rc = self._combine(r_loc, k, Ls)
+        # can feed into the restricted residual. Under the structured
+        # constraint the separate constrain passes are skipped — see
+        # _combine_constrained for why that is exact.
+        if structured:
+            r_loc = b - self._apply_op(x, coeff, k, Ls)
+        else:
+            r_loc = self._local_residual(x, b, coeff, k, Ls)
+        rc = self._combine_constrained(r_loc, k, Ls)
         rs = self._vdot(rc * w, rc)
         p = rc
         for i in range(steps):
-            Ap_loc = self._constrain(
-                self._apply_op(p, coeff, k, Ls, precision=self.smooth_precision),
-                k, Ls,
+            Ap_loc = self._apply_op(
+                p, coeff, k, Ls, precision=self.smooth_precision
             )
+            if not structured:
+                Ap_loc = self._constrain(Ap_loc, k, Ls)
             alpha = self._safe_div(rs, self._vdot(p, Ap_loc))
             x = x + alpha * p
             r_loc = r_loc - alpha * Ap_loc
             if i + 1 < steps:
-                rc = self._combine(r_loc, k, Ls)
+                rc = self._combine_constrained(r_loc, k, Ls)
                 rs_new = self._vdot(rc * w, rc)
                 p = rc + self._safe_div(rs_new, rs) * p
                 rs = rs_new
@@ -885,9 +920,10 @@ class MultigridSolver:
             if exact:
                 x, r_local = self._smooth_cg_exact(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
                 xs[k] = x
-                # only the finest residual is consumed (combined, for
-                # reporting); lower post-smooth residuals are dead values
-                return self._combine(r_local, k, Ls) if k == top else None
+                # only the finest residual is consumed (combined with the
+                # constraint folded in, for reporting); lower post-smooth
+                # residuals are dead values
+                return self._combine_constrained(r_local, k, Ls) if k == top else None
             x, r = self._smooth(x, bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
             xs[k] = x
             return r

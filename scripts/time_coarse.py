@@ -32,9 +32,14 @@ base = hypercube(3, n)
 rng = np.random.default_rng(0)
 field = generate_conductivity(3, n, rng)
 sigma = conductivity_per_element(base, field, np.zeros(3))
-plan = build_grid_plan(base, nlevels)
+plan = build_grid_plan(base, nlevels, slot_tables=False)
 print("plan built", flush=True)
-solver = MultigridSolver(plan, dtype=jnp.float32, coarse="mg", coarse_mg_tol=1e-2)
+import os as _os
+solver = MultigridSolver(
+    plan, dtype=jnp.float32, coarse="mg", coarse_mg_tol=1e-2,
+    smoother=_os.environ.get("TC_SMOOTHER", "cg_exact"),
+    smooth_precision=_os.environ.get("TC_SMOOTH_PRECISION") or None,
+)
 print("solver built", flush=True)
 coeff = solver.coefficients(sigma, 0.0)
 aux = solver.coarse_setup(sigma, 0.0)
@@ -73,20 +78,58 @@ uN = jnp.asarray(
     np.random.default_rng(2).standard_normal((plan.base.nnodes,)), jnp.float32
 )
 
-timeit("apply finest [E,969]", lambda v: solver._apply_op(v, coeff, nlevels - 1, Ls), xt)
-timeit("combine finest [E,969]", lambda v: solver._combine(v, nlevels - 1, Ls), xt)
-timeit(
+import jax.lax
+
+top = nlevels - 1
+m_N = solver._interior_mask_N
+import json as _json
+SEL = set((_os.environ.get("TC_ONLY") or "").split(",")) - {""}
+
+def maybe(name, *a, **k):
+    if SEL and name.split()[0] not in SEL:
+        return
+    timeit(name, *a, **k)
+
+maybe("apply finest HIGHEST [E,969]", lambda v: solver._apply_op(v, coeff, top, Ls), xt)
+maybe(
+    "applyhigh finest HIGH (bf16x3)",
+    lambda v: solver._apply_op(v, coeff, top, Ls, precision=jax.lax.Precision.HIGH),
+    xt,
+)
+maybe("combine finest [E,969]", lambda v: solver._combine(v, top, Ls), xt)
+maybe("constrain finest", lambda v: solver._constrain(v, top, Ls), xt)
+from homogenization_jl_tpu.ops.transfer import prolong_add, restrict
+maybe("restrict finest", lambda v: restrict(v, Ls[top].P_up), xt)
+maybe(
     "smooth finest (3 CG steps)",
-    lambda v: solver._smooth_cg(jnp.zeros_like(v), v, coeff, k=nlevels - 1, steps=3, Ls=Ls)[0],
+    lambda v: solver._smooth_cg(jnp.zeros_like(v), v, coeff, k=top, steps=3, Ls=Ls)[0],
     xt,
     reps=10,
 )
-timeit("combine level0 [E,4]", lambda v: solver._combine(v, 0, Ls), x0)
-timeit("to_global [E,4]->[N]", lambda v: solver._to_global(v), x0)
-timeit("global apply [N]", lambda u: solver._global_apply(u, coeff, Ls), uN)
-timeit(
-    "mg coarse solve tol=1e-2",
-    lambda v: solver._coarse_solve_mg(v, coeff, aux, Ls, solver.base_elements),
+maybe(
+    "smoothexact finest cg_exact (3 steps)",
+    lambda v: solver._smooth_cg_exact(jnp.zeros_like(v), v, coeff, k=top, steps=3, Ls=Ls)[0],
+    xt,
+    reps=10,
+)
+maybe("combine0 level0 [E,4]", lambda v: solver._combine(v, 0, Ls), x0)
+maybe("to_global [E,4]->[N]", lambda v: solver._to_global(v, solver.base_elements), x0)
+maybe(
+    "globalapply [N]",
+    lambda u: solver._global_apply(u, coeff, Ls, solver.base_elements, m_N),
+    uN,
+)
+maybe(
+    "coarse mg solve tol=1e-2",
+    lambda v: solver._coarse_solve_mg(v, coeff, aux, Ls, solver.base_elements, m_N),
     x0,
     reps=10,
+)
+maybe(
+    "vcycle FULL",
+    lambda v: solver._vcycle_impl(
+        jnp.zeros_like(v), v, coeff, aux, Ls, solver.base_elements, m_N
+    )[0],
+    xt,
+    reps=5,
 )
