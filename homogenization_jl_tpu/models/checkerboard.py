@@ -141,7 +141,7 @@ def consistent_random(plan, k: int, rng) -> np.ndarray:
     return x * plan.levels[k].boundary_mask
 
 
-def _make_solver(plan, device_mesh, dtype, smoothing_steps, coarse, coarse_dense_limit, smoother):
+def _make_solver(plan, device_mesh, dtype, smoothing_steps, coarse, coarse_dense_limit, smoother, solver_opts=None):
     """Solver factory: single-device MultigridSolver or, given a 1D device
     mesh, the element-axis ShardedMultigridSolver (reference parallelism:
     threads over base elements, src/apply_local_operators.jl:40-46)."""
@@ -155,16 +155,17 @@ def _make_solver(plan, device_mesh, dtype, smoothing_steps, coarse, coarse_dense
             kind = "chol"
     if kind == "chol" and len(plan.interior_base_nodes) > coarse_dense_limit:
         kind = "cg"
+    solver_opts = solver_opts or {}
     if device_mesh is None:
         return MultigridSolver(
             plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=kind,
-            smoother=smoother,
+            smoother=smoother, **solver_opts,
         )
     from ..parallel.sharding import ShardedMultigridSolver
 
     return ShardedMultigridSolver(
         plan, device_mesh, dtype=dtype, smoothing_steps=smoothing_steps,
-        coarse=kind, smoother=smoother,
+        coarse=kind, smoother=smoother, **solver_opts,
     )
 
 
@@ -257,6 +258,7 @@ def checkerboard_homogenization(
     lanczos_iters: int = 120,
     geometry: str = "ordered",
     lattice_order: str | None = None,
+    solver_opts: dict | None = None,
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -308,7 +310,7 @@ def checkerboard_homogenization(
             save_level=save_level, save_prefix=save_prefix,
             checkpoint_dir=checkpoint_dir, resume_from=resume_from,
             device_mesh=device_mesh, smoother=smoother, shrink=shrink,
-            lattice_order=lattice_order,
+            lattice_order=lattice_order, solver_opts=solver_opts,
         )
     assert geometry == "ordered", geometry
     lam = 1.0
@@ -364,7 +366,7 @@ def checkerboard_homogenization(
     def make_solver(plan):
         solver = _make_solver(
             plan, device_mesh, dtype, smoothing_steps, coarse,
-            coarse_dense_limit, smoother,
+            coarse_dense_limit, smoother, solver_opts,
         )
         to_dev = (
             solver.put
@@ -517,7 +519,7 @@ def _checkerboard_lattice(
     n, dim, refinements, smoothing_steps, tolerance, xi, cond_field, seed,
     dtype, coarse, coarse_dense_limit, max_cycles, verbose, return_trace,
     save_level, save_prefix, checkpoint_dir, resume_from, device_mesh,
-    smoother, shrink, lattice_order=None,
+    smoother, shrink, lattice_order=None, solver_opts=None,
 ):
     """Lattice-geometry recurrence: one full-box plan and ONE solver for the
     whole run; domain shrinking is pad-and-mask. Per outer step only the
@@ -600,10 +602,11 @@ def _checkerboard_lattice(
         # sub-box operator, which only the global-space cg/mg forms mask
         kind = "mg" if can_mg else "cg"
 
+    solver_opts = solver_opts or {}
     if device_mesh is None:
         sol = MultigridSolver(
             plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=kind,
-            smoother=smoother,
+            smoother=smoother, **solver_opts,
         )
 
         def to_dev(a):
@@ -619,7 +622,7 @@ def _checkerboard_lattice(
 
         sol = SlabShardedMultigridSolver(
             plan, device_mesh, dtype=dtype, smoothing_steps=smoothing_steps,
-            coarse=kind, smoother=smoother,
+            coarse=kind, smoother=smoother, **solver_opts,
         )
         to_dev = sol.put
 
