@@ -79,6 +79,7 @@ def st1_multigrid(
     coarse_dense_limit: int = 8_000,
     dtype=jnp.float64,
     save: str | None = None,
+    solver_opts: dict | None = None,
 ):
     """st1 field solve on the *implicit fine grid* — the scalable path.
 
@@ -95,11 +96,12 @@ def st1_multigrid(
     field = st1_conductivity(jax.random.PRNGKey(seed), n, dim, p=p, alpha=alpha)
     sigma_el = conductivity_per_cell(base, field)
 
-    plan = build_grid_plan(base, refinements + 1)
+    plan = build_grid_plan(base, refinements + 1, slot_tables=False)
     if coarse == "chol" and len(plan.interior_base_nodes) > coarse_dense_limit:
         coarse = "mg"
     solver = MultigridSolver(
-        plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=coarse
+        plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=coarse,
+        **(solver_opts or {}),
     )
     coeff = solver.coefficients(sigma_el, lam)
     setup = solver.coarse_setup(sigma_el, lam)

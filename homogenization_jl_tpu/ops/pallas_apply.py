@@ -28,7 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, c_ref, a_ref, y_ref, *, n_pieces: int, first_grid_axis: int):
+def _kernel(
+    x_ref, c_ref, a_ref, y_ref, *, n_pieces: int, first_grid_axis: int,
+    precision=jax.lax.Precision.HIGHEST,
+):
     # grid = (E/TE, n/TM, n/TN); the TN axis is innermost -> y block resident
     nn = pl.program_id(2)
 
@@ -44,7 +47,7 @@ def _kernel(x_ref, c_ref, a_ref, y_ref, *, n_pieces: int, first_grid_axis: int):
         ab,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     ).astype(y_ref.dtype)
 
     @pl.when(nn == 0)
@@ -65,6 +68,7 @@ def element_apply_pallas(
     tile_m: int = 256,
     tile_n: int = 256,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """y[e] = sum_p coeff[e,p] * (stack[p] @ x[e]) with pre-padded shapes.
 
@@ -79,7 +83,9 @@ def element_apply_pallas(
     assert E % tile_e == 0 and n % tile_m == 0 and n % tile_n == 0
 
     grid = (E // tile_e, n // tile_m, n // tile_n)
-    kernel = functools.partial(_kernel, n_pieces=Pp, first_grid_axis=0)
+    kernel = functools.partial(
+        _kernel, n_pieces=Pp, first_grid_axis=0, precision=precision
+    )
 
     flops = 2 * E * n * n * Pp
     return pl.pallas_call(

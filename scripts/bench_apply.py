@@ -100,14 +100,14 @@ for prec_name, (prec, passes) in PREC.items():
     )
     print(json.dumps(results[-1]), flush=True)
 
-    if prec_name == "highest":
-        dtk = timed(
-            lambda xx, cc: element_apply_pallas(xx, cc, stack_p), xp, coeff
-        )
-        results.append(
-            dict(kind="pallas_pad", prec="highest", n=n_pad, ms=dtk * 1e3,
-                 tflops=flops_pad / dtk / 1e12,
-                 roofline=flops_pad / dtk / (BF16_PEAK / 6))
-        )
-        print(json.dumps(results[-1]), flush=True)
+    dtk = timed(
+        lambda xx, cc: element_apply_pallas(xx, cc, stack_p, precision=prec),
+        xp, coeff,
+    )
+    results.append(
+        dict(kind="pallas_pad", prec=prec_name, n=n_pad, ms=dtk * 1e3,
+             tflops=flops_pad / dtk / 1e12,
+             roofline=flops_pad / dtk / peak)
+    )
+    print(json.dumps(results[-1]), flush=True)
 

@@ -1,0 +1,107 @@
+"""Cycles-to-tolerance on the bench config (north-star metric wording).
+
+BASELINE.json phrases the north star as "iters to 1e-3 checkerboard tol";
+bench.py reports steady-state s/V-cycle and the residual after a fixed
+cycle count. This script runs the identical bench configuration one
+V-cycle at a time and records, for PERFORMANCE.md:
+
+  * cycles until ||r||/||b|| < 1e-3 (and < 1e-4),
+  * the per-cycle contraction factor over the geometric tail,
+  * wall time to each tolerance (steady-state cycle time x cycles).
+
+Usage: python scripts/iters_to_tol.py [n] [levels] [max_cycles]
+Env: same BENCH_* knobs as bench.py (smoother, precisions, coarse).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
+
+from homogenization_jl_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homogenization_jl_tpu.fem.local_operators import load_vector
+from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
+from homogenization_jl_tpu.models.checkerboard import (
+    conductivity_per_element,
+    generate_conductivity,
+)
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+nlevels = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+max_cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+dtype = jnp.float32
+
+base = hypercube(3, n, order=os.environ.get("BENCH_ORDER", "type"))
+rng = np.random.default_rng(0)
+field = generate_conductivity(3, n, rng)
+sigma = conductivity_per_element(base, field, np.zeros(3))
+plan = build_grid_plan(base, nlevels, slot_tables=False)
+dofs = plan.base.nelements * plan.n_local(nlevels - 1)
+
+coarse = os.environ.get(
+    "BENCH_COARSE", "chol" if len(plan.interior_base_nodes) <= 8000 else "mg"
+)
+solver = MultigridSolver(
+    plan,
+    dtype=dtype,
+    coarse=coarse,
+    smoother=os.environ.get("BENCH_SMOOTHER", "cg_exact"),
+    apply_precision=os.environ.get("BENCH_PRECISION", "highest"),
+    smooth_precision=os.environ.get("BENCH_SMOOTH_PRECISION", "high"),
+    coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 5e-2)),
+)
+coeff = solver.coefficients(sigma, 0.0)
+chol = solver.coarse_setup(sigma, 0.0)
+b_ref = load_vector(plan.reference.levels[nlevels - 1])
+_, _, detJ, _ = affine_maps(base)
+b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
+
+x, _ = solver.zero_states()
+bb = b * solver.levels[-1].first_copy_mask
+b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
+
+history = []
+t0 = time.perf_counter()
+for k in range(max_cycles):
+    x, r = solver.vcycle(x, b, coeff, chol)
+    history.append(float(solver.residual_norm(r)) / b_norm)
+    if history[-1] < 1e-4:
+        break
+wall = time.perf_counter() - t0
+
+
+def cycles_to(tol):
+    for i, h in enumerate(history):
+        if h < tol:
+            return i + 1
+    return None
+
+
+tail = min(5, len(history) - 1)
+contraction = (history[-1] / history[-1 - tail]) ** (1.0 / tail) if tail else None
+print(
+    json.dumps(
+        dict(
+            dofs=dofs,
+            b_norm=b_norm,
+            cycles_to_1e3=cycles_to(1e-3),
+            cycles_to_1e4=cycles_to(1e-4),
+            contraction_tail=contraction,
+            rel_residuals=history,
+            wall_s=round(wall, 1),
+            coarse=coarse,
+        )
+    )
+)
