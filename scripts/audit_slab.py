@@ -48,6 +48,11 @@ from homogenization_jl_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # the host's axon TPU plugin overrides the env var at import; the
+    # config update is authoritative (same pattern as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh

@@ -42,8 +42,11 @@ history, x, solver, sigma_el = st1_multigrid(
     max_cycles=cycles,
     coarse="mg",
     dtype=jnp.float32,
+    smoothing_steps=int(os.environ.get("ST1_SMOOTH_STEPS", 3)),
     solver_opts=dict(
-        smoother="cg_exact", smooth_precision="high", coarse_mg_tol=5e-2
+        smoother="cg_exact",
+        smooth_precision=os.environ.get("ST1_SMOOTH_PRECISION", "high"),
+        coarse_mg_tol=float(os.environ.get("ST1_COARSE_MG_TOL", 5e-2)),
     ),
 )
 wall = time.perf_counter() - t0
