@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 
 import jax
 import jax.numpy as jnp
@@ -428,6 +429,7 @@ def checkerboard_homogenization(
             d_sigma = 0.0
             d_sigma_prev = 0.0
             cycles = 0
+            t_prev = time.perf_counter()
             for i in range(max_cycles):
                 x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
                 cycles += 1
@@ -438,10 +440,13 @@ def checkerboard_homogenization(
                 d_sigma = 2.0**k * integral / domain_area
                 if verbose:
                     rn = float(solver.residual_norm(r))
+                    t_now = time.perf_counter()
                     print(
                         f"  cycle {i + 1}: |r|={rn:.3e} sigma+ds={sigma + d_sigma:.10f} "
-                        f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e}"
+                        f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e} "
+                        f"dt={t_now - t_prev:.2f}s"
                     )
+                    t_prev = t_now
                 if abs(d_sigma - d_sigma_prev) < tolerance:
                     break
                 d_sigma_prev = d_sigma
@@ -710,6 +715,7 @@ def _checkerboard_lattice(
             d_sigma = 0.0
             d_sigma_prev = 0.0
             cycles = 0
+            t_prev = time.perf_counter()
             for i in range(max_cycles):
                 x, r = sol.vcycle(
                     x, b, coeff, setup, lam_max=lam_max, Ls=Ls_k, interior=int_k
@@ -722,11 +728,14 @@ def _checkerboard_lattice(
                 d_sigma = 2.0**k * integral / domain_area
                 if verbose:
                     rn = float(sol.residual_norm(r))
+                    t_now = time.perf_counter()
                     print(
                         f"  cycle {i + 1}: |r|={rn:.3e} "
                         f"sigma+ds={sigma + d_sigma:.10f} "
-                        f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e}"
+                        f"|ds-ds_prev|={abs(d_sigma - d_sigma_prev):.3e} "
+                        f"dt={t_now - t_prev:.2f}s"
                     )
+                    t_prev = t_now
                 if abs(d_sigma - d_sigma_prev) < tolerance:
                     break
                 d_sigma_prev = d_sigma
