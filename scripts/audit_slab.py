@@ -84,8 +84,11 @@ def main():
     if len(devs) < S:
         raise SystemExit(f"need {S} devices, have {len(devs)}")
     mesh = Mesh(np.array(devs), ("e",))
+    from homogenization_jl_tpu.solver.coarse import coarsening_depth
+
+    coarse = "mg" if coarsening_depth(base) > 0 else "chol"
     solver = SlabShardedMultigridSolver(
-        plan, mesh, dtype=jnp.float32, coarse="mg", smoother="cg_exact",
+        plan, mesh, dtype=jnp.float32, coarse=coarse, smoother="cg_exact",
         smooth_precision="high", coarse_mg_tol=5e-2,
     )
     E, nl = plan.base.nelements, plan.n_local(LEVELS - 1)
