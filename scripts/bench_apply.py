@@ -1,10 +1,15 @@
 """Microbenchmark of the element-apply kernel at solver-realistic shapes.
 
-Measures (on the real chip): XLA loop-accumulated apply vs fused Pallas apply,
-at HIGHEST (f32, 6-pass) and HIGH (bf16x3, 3-pass) precision, with native
-(969) and 128-padded (1024) n_local. Prints one JSON line per variant with
-TFLOP/s and the %-of-roofline bookkeeping used by BASELINE.md (v5e bf16 peak
-394 TFLOP/s per the local bookkeeping: HIGHEST peak = 394/6, HIGH = 394/3).
+Measures (on the real chip): the XLA loop-accumulated apply at HIGHEST
+(f32, 6-pass) and HIGH (bf16x3, 3-pass) precision, with native (969) and
+128-padded (1024) n_local. Prints one JSON line per variant with TFLOP/s
+and %-of-roofline against the v5e bf16 peak of 197 TFLOP/s (HIGHEST peak =
+197/6, HIGH = 197/3 — the corrected bookkeeping in PERFORMANCE.md).
+
+A hand-fused Pallas variant was benchmarked here through round 3 and
+retired: 104.8 vs 87.6 ms at HIGHEST (E=196608), and Mosaic's dot lowering
+does not implement Precision.HIGH, while the HIGH regime is compute-bound
+(~6.5 ms of HBM traffic inside a 44.8 ms op) so fusion has nothing to win.
 
 Usage: python scripts/bench_apply.py [E] [reps]
 """
@@ -31,9 +36,8 @@ from homogenization_jl_tpu.fem.local_operators import build_level_operators
 from homogenization_jl_tpu.mesh.grid import hypercube
 from homogenization_jl_tpu.mesh.reference import refined_reference
 from homogenization_jl_tpu.ops.apply import element_apply
-from homogenization_jl_tpu.ops.pallas_apply import element_apply_pallas
 
-BF16_PEAK = 394e12  # v5e bookkeeping anchor (see BASELINE.md)
+BF16_PEAK = 197e12  # v5e bf16 peak (corrected bookkeeping, PERFORMANCE.md)
 
 E = int(sys.argv[1]) if len(sys.argv) > 1 else 196_608
 reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -100,14 +104,4 @@ for prec_name, (prec, passes) in PREC.items():
     )
     print(json.dumps(results[-1]), flush=True)
 
-    dtk = timed(
-        lambda xx, cc: element_apply_pallas(xx, cc, stack_p, precision=prec),
-        xp, coeff,
-    )
-    results.append(
-        dict(kind="pallas_pad", prec=prec_name, n=n_pad, ms=dtk * 1e3,
-             tflops=flops_pad / dtk / 1e12,
-             roofline=flops_pad / dtk / peak)
-    )
-    print(json.dumps(results[-1]), flush=True)
 
