@@ -60,6 +60,11 @@ class SlabShardedMultigridSolver(MultigridSolver):
         assert len(mesh.axis_names) == 1 and mesh.axis_names[0] == AXIS
         kwargs.setdefault("combine", "structured")
         super().__init__(plan, dtype=dtype, **kwargs)
+        # the coarse solves run inside shard_map on shard-local [E/S, d+1]
+        # blocks; the full-lattice stencil forms don't apply there — keep
+        # the per-shard scatter-add + psum path (ops/stencil.py is a
+        # single-device/replicated optimization)
+        self.lattice_stencil = None
         assert self.combine_kind == "structured", (
             "slab sharding requires a structured (full-box hypercube) base; "
             "use parallel.sharding.ShardedMultigridSolver otherwise"

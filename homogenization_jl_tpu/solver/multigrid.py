@@ -307,6 +307,16 @@ class MultigridSolver:
         im[plan.interior_base_nodes] = True
         self._interior_mask_N = jnp.asarray(im)
 
+        # On box bases the level-0 operator is a lattice stencil: the coarse
+        # CG/PCG applies become <= 3^d shifted elementwise multiply-adds on
+        # the (n+1)^d node lattice instead of gather + tiny-matmul +
+        # segment_sum (~20x cheaper per application — ops/stencil.py).
+        # Sharded subclasses disable this (their coarse vectors are
+        # shard-local blocks inside shard_map).
+        from ..ops.stencil import build_lattice_stencil
+
+        self.lattice_stencil = build_lattice_stencil(plan.base)
+
         self._power_jit = {}
 
         # base-mesh coarsening below level 0 (coarse="mg"): an auxiliary
@@ -746,7 +756,8 @@ class MultigridSolver:
         an interface combine. Scales to base meshes too large to factor.
         ``m``: [N] interior-node mask (an argument so the lattice-mode
         driver can shrink the Dirichlet box per outer step, no recompile)."""
-        b = self._to_global(b0, base_elements) * m
+        Aop, to_g, dist = self._level0_ops(coeff, Ls, base_elements, m)
+        b = to_g(b0) * m
         x = jnp.zeros_like(b)
         r = b
         p = r
@@ -755,7 +766,7 @@ class MultigridSolver:
 
         def body(state):
             x, r, p, rs, i = state
-            Ap = self._global_apply(p, coeff, Ls, base_elements, m)
+            Ap = Aop(p)
             alpha = self._safe_div(rs, jnp.vdot(p, Ap))
             x = x + alpha * p
             r = r - alpha * Ap
@@ -768,7 +779,33 @@ class MultigridSolver:
             return jnp.logical_and(rs_c > eps2, i < self.coarse_cg_maxiter)
 
         x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
-        return distribute(x, base_elements)
+        return dist(x)
+
+    def _level0_ops(self, coeff, Ls, base_elements, m):
+        """(apply, to_global, distribute) for the global-space level-0
+        solves. On box bases: the lattice-stencil forms (ops/stencil.py) —
+        weights built once here and hoisted out of the CG while_loop by XLA;
+        otherwise the gather/segment_sum forms."""
+        st = self.lattice_stencil
+        if st is not None:
+            from ..ops.stencil import (
+                lattice_apply,
+                lattice_assemble,
+                lattice_distribute,
+                lattice_weights,
+            )
+
+            W = lattice_weights(coeff, Ls[0].stack, st)
+            return (
+                lambda u: lattice_apply(u, W, st) * m,
+                lambda y0: lattice_assemble(y0, st),
+                lambda u: lattice_distribute(u, st),
+            )
+        return (
+            lambda u: self._global_apply(u, coeff, Ls, base_elements, m),
+            lambda y0: self._to_global(y0, base_elements),
+            lambda u: distribute(u, base_elements),
+        )
 
     def _coarse_solve_mg(self, b0, coeff, aux, Ls, base_elements, m):
         """Coarse solve via PCG on the exact level-0 operator in the GLOBAL
@@ -786,8 +823,7 @@ class MultigridSolver:
         dinv = aux["dinv_g"] * m
         lam_max0 = aux["lam_max0"]
 
-        def Aop(u):
-            return self._global_apply(u, coeff, Ls, base_elements, m)
+        Aop, to_g, dist = self._level0_ops(coeff, Ls, base_elements, m)
 
         def aux_correct(r):
             # global residual -> aux finest layout in local-contribution
@@ -842,7 +878,7 @@ class MultigridSolver:
                 x1 = cheb(x1, r, nu)
             return x1
 
-        b = self._to_global(b0, base_elements) * m
+        b = to_g(b0) * m
         x = jnp.zeros_like(b)
         r = b
         z = prec(r)
@@ -867,7 +903,7 @@ class MultigridSolver:
             return jnp.logical_and(rs_c > eps2, i < self.coarse_mg_maxiter)
 
         x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, rs, 0))
-        return distribute(x, base_elements)
+        return dist(x)
 
     def _vcycle_impl(self, x_top, b_top, coeff, chol, Ls, base_elements, interior, lam_max=None):
         """One V-cycle; returns (x_top, r_finest).

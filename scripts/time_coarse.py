@@ -28,7 +28,7 @@ from homogenization_jl_tpu.solver.multigrid import MultigridSolver
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 nlevels = 5
-base = hypercube(3, n)
+base = hypercube(3, n, order=os.environ.get("TC_ORDER", "cube"))
 rng = np.random.default_rng(0)
 field = generate_conductivity(3, n, rng)
 sigma = conductivity_per_element(base, field, np.zeros(3))
