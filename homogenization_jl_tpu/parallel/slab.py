@@ -60,10 +60,14 @@ class SlabShardedMultigridSolver(MultigridSolver):
         assert len(mesh.axis_names) == 1 and mesh.axis_names[0] == AXIS
         kwargs.setdefault("combine", "structured")
         super().__init__(plan, dtype=dtype, **kwargs)
-        # the coarse solves run inside shard_map on shard-local [E/S, d+1]
-        # blocks; the full-lattice stencil forms don't apply there — keep
-        # the per-shard scatter-add + psum path (ops/stencil.py is a
-        # single-device/replicated optimization)
+        # the single-device lattice-stencil coarse path (ops/stencil.py)
+        # assumes full-box [E, d+1] inputs; inside shard_map the inputs are
+        # shard-local x-slab blocks, so _level0_ops below replaces it with
+        # the slab form: per-shard PARTIAL stencil weights / rhs built with
+        # static slices on the local slab, placed at the shard's x-offset,
+        # and psum-reduced (W and the assembled rhs are additive over
+        # elements); the operator application then runs replicated.
+        self._slab_stencil = self.lattice_stencil
         self.lattice_stencil = None
         assert self.combine_kind == "structured", (
             "slab sharding requires a structured (full-box hypercube) base; "
@@ -141,6 +145,84 @@ class SlabShardedMultigridSolver(MultigridSolver):
         u = jnp.zeros((self.n_base_nodes,), y.dtype)
         u = u.at[base_elements.reshape(-1)].add(y.reshape(-1))
         return jax.lax.psum(u, AXIS)
+
+    def _level0_ops(self, coeff, Ls, base_elements, m):
+        """Slab form of the lattice-stencil coarse machinery: the stencil
+        weights and assembled rhs are ADDITIVE over elements, so each shard
+        builds its x-slab's partial with static slices (same tables as
+        ops/stencil.py), places it at its x-offset, and one psum of the
+        [K, (n+1)^d] weight field / [N] rhs replicates them; the operator
+        application then runs replicated (identical on every shard). The
+        13x coarse-solve speedup of the single-chip stencil path
+        (PERFORMANCE.md) carries to the 1e9-DOF sharded configuration."""
+        st = self._slab_stencil
+        if st is None:
+            return super()._level0_ops(coeff, Ls, base_elements, m)
+
+        from ..ops.stencil import lattice_apply
+
+        n, d, ept = st.n, st.dim, st.ept
+        Wp = self.W
+        K = len(st.deltas)
+        lat = (n + 1,) * d
+        tail_n = (n,) * (d - 1)
+        x0 = jax.lax.axis_index(AXIS) * Wp
+        z0 = jnp.zeros((), x0.dtype)  # index literals must match x0's dtype
+
+        def local_slice(a):
+            # lattice slice of the local slab block for corner offset a
+            return (slice(a[0], a[0] + Wp),) + tuple(
+                slice(a[kk], a[kk] + n) for kk in range(1, d)
+            )
+
+        def to_g(y0):
+            y3 = y0.reshape((Wp,) + tail_n + (ept, d + 1))
+            B = jnp.zeros((Wp + 1,) + (n + 1,) * (d - 1), y0.dtype)
+            for t in range(ept):
+                for i in range(d + 1):
+                    B = B.at[local_slice(st.corner[t][i])].add(y3[..., t, i])
+            full = jax.lax.dynamic_update_slice(
+                jnp.zeros(lat, y0.dtype), B, (x0,) + (z0,) * (d - 1)
+            )
+            return jax.lax.psum(full.reshape(-1), AXIS)
+
+        stack0 = Ls[0].stack
+        c3 = coeff.reshape((Wp,) + tail_n + (ept, -1))
+        Wl = jnp.zeros((K, Wp + 1) + (n + 1,) * (d - 1), coeff.dtype)
+        for t, i, j, k in st.entries:
+            s = c3[..., t, :] @ stack0[:, i, j]
+            Wl = Wl.at[(k,) + local_slice(st.corner[t][i])].add(s)
+        Wfull = jax.lax.psum(
+            jax.lax.dynamic_update_slice(
+                jnp.zeros((K,) + lat, coeff.dtype), Wl,
+                (z0, x0) + (z0,) * (d - 1),
+            ),
+            AXIS,
+        )
+
+        def dist(u):
+            Ul = jax.lax.dynamic_slice(
+                u.reshape(lat), (x0,) + (z0,) * (d - 1),
+                (Wp + 1,) + (n + 1,) * (d - 1),
+            )
+            cols = [
+                jnp.stack(
+                    [
+                        Ul[local_slice(st.corner[t][i])].reshape(-1)
+                        for i in range(d + 1)
+                    ],
+                    axis=1,
+                )
+                for t in range(ept)
+            ]
+            # cube-order local layout: e_loc = q_loc * ept + t
+            return jnp.stack(cols, axis=1).reshape(-1, d + 1)
+
+        return (
+            lambda u: lattice_apply(u, Wfull, st) * m,
+            to_g,
+            dist,
+        )
 
     def _assemble_base(self, b0, base_elements):
         return jax.lax.psum(
