@@ -97,6 +97,16 @@ maybe(
     xt,
 )
 maybe("combine finest [E,969]", lambda v: solver._combine(v, top, Ls), xt)
+for _k in range(1, nlevels - 1):
+    _w = plan.n_local(_k)
+    _xk = jnp.asarray(
+        np.random.default_rng(_k).standard_normal((E, _w)), jnp.float32
+    )
+    maybe(
+        f"combinek level{_k} [E,{_w}]",
+        (lambda kk: lambda v: solver._combine(v, kk, Ls))(_k),
+        _xk,
+    )
 maybe("constrain finest", lambda v: solver._constrain(v, top, Ls), xt)
 from homogenization_jl_tpu.ops.transfer import prolong_add, restrict
 maybe("restrict finest", lambda v: restrict(v, Ls[top].P_up), xt)
