@@ -24,8 +24,11 @@ import jax.numpy as jnp
 
 from homogenization_jl_tpu.models.checkerboard import checkerboard_homogenization
 
+# defaults = the recorded 190M-unknown run (ACCURACY.md); n=3 at
+# refinements=4 is a 643M-DOF domain that exceeds the 495M single-chip
+# ceiling (PERFORMANCE.md) — use the slab-sharded driver for that regime
 refinements = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
 
 t0 = time.perf_counter()

@@ -80,6 +80,8 @@ def test_slab_constraint_matches_mask():
         (2, 8, 4, "chol", "cg_exact", 4),
         (3, 8, 3, "cg", "cg", 8),
         (3, 8, 2, "mg", "cg_exact", 8),
+        # d=2 through the slab lattice-stencil coarse path
+        (2, 8, 3, "cg", "cg_exact", 4),
     ],
 )
 def test_slab_vcycle_matches_single_device(dim, n, levels, coarse, smoother, ndev):
