@@ -302,6 +302,205 @@ def build_structured_combine(plan, k: int) -> StructuredCombine | None:
     )
 
 
+# cache of small boxes used by the rescaled build, keyed by
+# (dim, nlevels, order, n_small) -> GridPlan / (..., k) -> StructuredCombine
+_SMALL_CACHE: dict = {}
+
+
+def build_structured_combine_auto(
+    plan, k: int, threshold: int = 16
+) -> "StructuredCombine | None":
+    """Direct orbit derivation for small bases, rescaled small-box
+    derivation (O(1) in base size) at n >= ``threshold`` where the direct
+    census over all groups starts to dominate plan setup."""
+    det = detect_structured(plan.base)
+    if det is None or plan.reference.layout is None:
+        return None
+    if det[0] >= threshold:
+        return build_structured_combine_scaled(plan, k)
+    return build_structured_combine(plan, k)
+
+
+def build_structured_combine_scaled(
+    plan, k: int, n_small: tuple = (6, 7)
+) -> "StructuredCombine | None":
+    """Like :func:`build_structured_combine` but O(1) in the base size: the
+    orbit rules are translation invariant, so they are derived once on two
+    small boxes (n0, n0+1) and every anchor range — affine in n with slope
+    0 or 1 — is rescaled to the plan's n. The direct build's census over
+    all G groups (~65 s at a 1.5M-element base) collapses to two seconds of
+    small-box work plus an exact global count check and a 4096-group sampled
+    owner-set validation against the plan's real gather tables.
+    """
+    det = detect_structured(plan.base)
+    if det is None or plan.reference.layout is None:
+        return None
+    n, ept, order = det
+    n0, n1 = n_small
+    assert n1 == n0 + 1
+    if n <= n1:
+        return build_structured_combine(plan, k)
+    from ..mesh.grid import hypercube
+    from .plan import build_grid_plan
+
+    d = plan.base.dim
+    nlevels = plan.nlevels
+    scs = []
+    for ns in n_small:
+        ck = (d, nlevels, order, ns, k)
+        sc = _SMALL_CACHE.get(ck)
+        if sc is None:
+            pk = (d, nlevels, order, ns)
+            plan_s = _SMALL_CACHE.get(pk)
+            if plan_s is None:
+                plan_s = build_grid_plan(
+                    hypercube(d, ns, order=order), nlevels, slot_tables=False
+                )
+                _SMALL_CACHE[pk] = plan_s
+            sc = build_structured_combine(plan_s, k)
+            _SMALL_CACHE[ck] = sc
+        scs.append(sc)
+    sc0, sc1 = scs
+
+    def affine(v0, v1):
+        # componentwise: slope must be 0 or 1 (ranges are either pinned to
+        # the origin side or track the far boundary)
+        out = []
+        for a, b in zip(v0, v1):
+            s = b - a
+            assert s in (0, 1), f"anchor range slope {s} not in {{0,1}}"
+            out.append(int(a + s * (n - n0)))
+        return tuple(out)
+
+    assert set(sc0.classes) == set(sc1.classes)
+    classes = {}
+    for name in sc0.classes:
+        orbits0, rebuild0, offsets0, width0 = sc0.classes[name]
+        orbits1, rebuild1, offsets1, width1 = sc1.classes[name]
+        assert offsets0 == offsets1 and width0 == width1, name
+        by_pat1 = {ob.pattern: i for i, ob in enumerate(orbits1)}
+        assert len(by_pat1) == len(orbits1), f"{name}: duplicate patterns"
+        assert len(orbits0) == len(orbits1), (
+            f"{name}: orbit count differs between n={n0} and n={n1}"
+        )
+        orbits = []
+        o_map = {}  # sc0 orbit index -> scaled orbit (same index order)
+        for oi, ob0 in enumerate(orbits0):
+            ob1 = orbits1[by_pat1[ob0.pattern]]
+            o_map[by_pat1[ob0.pattern]] = oi
+            assert (ob0.int_lo is None) == (ob1.int_lo is None), name
+            orbits.append(
+                Orbit(
+                    pattern=ob0.pattern,
+                    p_min=affine(ob0.p_min, ob1.p_min),
+                    p_max=affine(ob0.p_max, ob1.p_max),
+                    int_lo=None if ob0.int_lo is None else affine(ob0.int_lo, ob1.int_lo),
+                    int_hi=None if ob0.int_hi is None else affine(ob0.int_hi, ob1.int_hi),
+                )
+            )
+        # the (t, l) -> (orbit, delta) map must agree between the two sizes
+        assert set(rebuild0) == set(rebuild1), name
+        for key, (oi1, dlt1) in rebuild1.items():
+            oi0, dlt0 = rebuild0[key]
+            assert o_map[oi1] == oi0 and dlt0 == dlt1, f"{name}: rebuild mismatch {key}"
+        classes[name] = (orbits, dict(rebuild0), offsets0, width0)
+
+    assert sc0.pad == sc1.pad
+    sc = StructuredCombine(
+        n=n, d=d, ept=ept, n_local=plan.n_local(k), order=order,
+        classes=classes, pad=sc0.pad,
+    )
+    _validate_scaled(plan, k, sc)
+    return sc
+
+
+def _validate_scaled(plan, k: int, sc: StructuredCombine, n_sample: int = 4096):
+    """Exact global checks + sampled owner-set check of a rescaled
+    StructuredCombine against the plan's real gather tables."""
+    n, d, ept, order = sc.n, sc.d, sc.ept, sc.order
+    lp = plan.levels[k]
+    lay = plan.reference.layout[k]
+    bmask = lp.boundary_mask
+    specs = {}
+    if lp.gather.face is not None:
+        specs["face"] = (lp.gather.face, lay.face_offsets)
+    if lp.gather.edge is not None and lay.npe > 0:
+        specs["edge"] = (lp.gather.edge, lay.edge_offsets)
+    if lp.gather.corner is not None:
+        specs["corner"] = (lp.gather.corner, lay.corner_cols)
+    assert set(specs) == set(sc.classes)
+
+    stride = np.array([n ** (d - 1 - kk) for kk in range(d)], dtype=np.int64)
+
+    def eid(pos, t):
+        cube = int((pos * stride).sum())
+        return cube * ept + t if order == "cube" else t * n**d + cube
+
+    rng = np.random.default_rng(0)
+    for name, ((oe, ol, om, gmap), offsets) in specs.items():
+        orbits, rebuild, offs, width = sc.classes[name]
+        G, M = oe.shape
+        E, L = gmap.shape
+        # exact: total group count == sum over orbits of the anchor-box size
+        tot = sum(
+            int(np.prod([hi - lo + 1 for lo, hi in zip(ob.p_min, ob.p_max)]))
+            for ob in orbits
+        )
+        assert tot == G, f"{name}: scaled anchor boxes cover {tot} != {G} groups"
+        # exact: boundary-group count == sum of (box - interior box) sizes
+        g_bnd = bmask[oe[:, 0].astype(np.int64), np.asarray(offs)[ol[:, 0]]] == 0
+        tot_b = 0
+        for ob in orbits:
+            box = int(np.prod([hi - lo + 1 for lo, hi in zip(ob.p_min, ob.p_max)]))
+            if ob.int_lo is None:
+                tot_b += box
+            else:
+                tot_b += box - int(
+                    np.prod([hi - lo + 1 for lo, hi in zip(ob.int_lo, ob.int_hi)])
+                )
+        assert tot_b == int(g_bnd.sum()), (
+            f"{name}: scaled boundary boxes cover {tot_b} != {int(g_bnd.sum())}"
+        )
+        # sampled: the group each (element, cell) rebuilds from has exactly
+        # the owner set the orbit pattern predicts at the implied anchor
+        sample = rng.choice(E * L, size=min(n_sample, E * L), replace=False)
+        e_s = (sample // L).astype(np.int64)
+        l_s = (sample % L).astype(np.int64)
+        c_e, t_e = _cube_coords(e_s, n, d, ept, order)
+        for i in range(len(sample)):
+            oi, dlt = rebuild[(int(t_e[i]), int(l_s[i]))]
+            ob = orbits[oi]
+            p = c_e[i] - np.asarray(dlt)
+            assert (p >= ob.p_min).all() and (p <= ob.p_max).all(), (
+                f"{name}: anchor {p} outside scaled box of orbit {oi}"
+            )
+            gi = int(gmap[e_s[i], l_s[i]])
+            actual = {
+                (int(oe[gi, j]), int(ol[gi, j])) for j in range(M) if om[gi, j] > 0
+            }
+            expect = set()
+            for dlt2, t2, l2 in ob.pattern:
+                pos = p + np.asarray(dlt2)
+                if ((pos >= 0) & (pos < n)).all():
+                    expect.add((eid(pos, t2), l2))
+            assert actual == expect, (
+                f"{name}: owner set mismatch at group {gi} (anchor {p})"
+            )
+            bnd = bool(g_bnd[gi])
+            inside = ob.int_lo is not None and (
+                (p >= ob.int_lo).all() and (p <= ob.int_hi).all()
+            )
+            assert bnd == (not inside), f"{name}: boundary flag mismatch at {gi}"
+
+    # element-interior (head) columns must never carry boundary DOFs
+    i0 = min(
+        min(offs) for (_, _, offs, _) in sc.classes.values() if len(offs)
+    )
+    assert (bmask[:, :i0] != 0).all(), (
+        "element-interior columns unexpectedly contain boundary DOFs"
+    )
+
+
 def _try_attach(groups, c_all, t_all, l_all, valid, pat, n, orbit_of, anchor, oi):
     """Vectorized: attach each group in ``groups`` to orbit ``pat`` if its
     owners are exactly the pattern entries whose position lands in range.

@@ -129,16 +129,16 @@ class MultigridSolver:
         # the gather form.
         self.structured = None
         if combine in ("auto", "structured"):
-            from ..ops.structured import build_structured_combine
+            from ..ops.structured import build_structured_combine_auto
 
             sc0 = (
-                build_structured_combine(plan, 0)
+                build_structured_combine_auto(plan, 0)
                 if plan.reference.layout is not None
                 else None
             )
             if sc0 is not None:
                 self.structured = [sc0] + [
-                    build_structured_combine(plan, k)
+                    build_structured_combine_auto(plan, k)
                     for k in range(1, self.nlevels)
                 ]
                 combine = "structured"
