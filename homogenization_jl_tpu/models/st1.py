@@ -80,6 +80,8 @@ def st1_multigrid(
     dtype=jnp.float64,
     save: str | None = None,
     solver_opts: dict | None = None,
+    method: str = "vcycle",
+    tol: float = 0.0,
 ):
     """st1 field solve on the *implicit fine grid* — the scalable path.
 
@@ -99,9 +101,13 @@ def st1_multigrid(
     plan = build_grid_plan(base, refinements + 1, slot_tables=False)
     if coarse == "chol" and len(plan.interior_base_nodes) > coarse_dense_limit:
         coarse = "mg"
+    solver_opts = dict(solver_opts or {})
+    if method == "pcg":
+        # pcg requires a linear SPD V-cycle (chebyshev smoothing)
+        solver_opts.setdefault("smoother", "chebyshev")
     solver = MultigridSolver(
         plan, dtype=dtype, smoothing_steps=smoothing_steps, coarse=coarse,
-        **(solver_opts or {}),
+        **solver_opts,
     )
     coeff = solver.coefficients(sigma_el, lam)
     setup = solver.coarse_setup(sigma_el, lam)
@@ -111,10 +117,24 @@ def st1_multigrid(
     _, _, detJ, _ = affine_maps(base)
     b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=dtype)
 
-    history = []
-    for _ in range(max_cycles):
-        x, r = solver.vcycle(x, b, coeff, setup)
-        history.append(float(solver.residual_norm(r)))
+    lam_max = (
+        solver.estimate_lambda_max(coeff)
+        if solver.smoother == "chebyshev"
+        else None
+    )
+    if method == "pcg":
+        # V-cycle-preconditioned CG: contrast-robust where the standalone
+        # V-cycle stalls (alpha=100 fields contract at ~0.99/cycle)
+        x, history = solver.pcg(
+            b, coeff, setup, lam_max=lam_max, iters=max_cycles, tol=tol
+        )
+    else:
+        history = []
+        for _ in range(max_cycles):
+            x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
+            history.append(float(solver.residual_norm(r)))
+            if tol and history[-1] <= tol * history[0]:
+                break
 
     if save:
         from ..utils.vtk import export_solution

@@ -333,6 +333,38 @@ class SlabShardedMultigridSolver(MultigridSolver):
             lam_max,
         )
 
+    def _pcg_programs(self):
+        """shard_map-wrapped V-cycle-preconditioned CG programs: the impls
+        are inherited unchanged — _vdot/psum makes every dot and the
+        reported norm global, states stay slab-sharded."""
+        state = P(AXIS, None)
+        common = (P(AXIS, None), P(), self._ls_specs(), P(AXIS, None), P(), P())
+
+        init = jax.shard_map(
+            self._pcg_init_impl,
+            mesh=self.mesh,
+            in_specs=(state, state) + common,
+            out_specs=(state, state, state, P(), P()),
+            check_vma=False,
+        )
+
+        def mk(fl):
+            def body(x, r, p, rz, coeff, chol, Ls, elements, interior, lam_max):
+                return self._pcg_step_impl(
+                    x, r, p, rz, coeff, chol, Ls, elements, interior, lam_max, fl
+                )
+
+            sm = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(state, state, state, P()) + common,
+                out_specs=(state, state, state, P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sm, donate_argnums=(0, 1, 2))
+
+        return jax.jit(init), {fl: mk(fl) for fl in (False, True)}
+
     # -- public state helpers ----------------------------------------------- #
     def put(self, a, spec=None):
         """Place a global element-leading array with the slab sharding."""

@@ -30,6 +30,9 @@ n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 refinements = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 alpha = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 cycles = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+# "pcg" = V-cycle-preconditioned CG (chebyshev smoothing) — the
+# contrast-robust outer solve; "vcycle" = bare V-cycle iteration
+method = os.environ.get("ST1_METHOD", "vcycle")
 
 t0 = time.perf_counter()
 history, x, solver, sigma_el = st1_multigrid(
@@ -42,9 +45,14 @@ history, x, solver, sigma_el = st1_multigrid(
     max_cycles=cycles,
     coarse="mg",
     dtype=jnp.float32,
+    method=method,
+    tol=float(os.environ.get("ST1_TOL", 0.0)),
     smoothing_steps=int(os.environ.get("ST1_SMOOTH_STEPS", 3)),
     solver_opts=dict(
-        smoother="cg_exact",
+        smoother=(
+            "chebyshev" if method == "pcg"
+            else os.environ.get("ST1_SMOOTHER", "cg_exact")
+        ),
         smooth_precision=os.environ.get("ST1_SMOOTH_PRECISION", "high"),
         coarse_mg_tol=float(os.environ.get("ST1_COARSE_MG_TOL", 5e-2)),
     ),

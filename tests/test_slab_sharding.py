@@ -161,3 +161,29 @@ def test_slab_contracts_to_solution():
         hist.append(float(sh.residual_norm(r)))
     # ~0.35x per cycle (same rate as single-device; 0.35^10 ~ 2.8e-5)
     assert hist[-1] < 1e-4 * hist[0], hist
+
+
+def test_slab_pcg_matches_single_device():
+    """V-cycle-preconditioned CG, slab-sharded == single-device: the same
+    iteration count, matching residual history, matching solution."""
+    plan, sigma, b_np = _setup(3, 8, 3)
+    kw = dict(dtype=jnp.float64, coarse="chol", smoother="chebyshev")
+
+    ref = MultigridSolver(plan, **kw)
+    coeff = ref.coefficients(sigma, 0.0)
+    chol = ref.coarse_cholesky(sigma, 0.0)
+    lam_max = ref.estimate_lambda_max(coeff)
+    x, hist = ref.pcg(jnp.asarray(b_np), coeff, chol, lam_max=lam_max, iters=8)
+
+    sh = SlabShardedMultigridSolver(plan, _mesh(8), **kw)
+    coeff_s = sh.coefficients(sigma, 0.0)
+    chol_s = sh.coarse_setup(sigma, 0.0)
+    lam_max_s = sh.estimate_lambda_max(coeff_s)
+    x_s, hist_s = sh.pcg(sh.put(b_np), coeff_s, chol_s, lam_max=lam_max_s, iters=8)
+
+    assert len(hist) == len(hist_s)
+    for a, b in zip(hist, hist_s):
+        assert abs(a - b) < 1e-9 * max(abs(a), 1e-300), (a, b)
+    err = float(jnp.abs(x_s - x).max()) / max(float(jnp.abs(x).max()), 1e-300)
+    assert err < 1e-9, err
+    assert hist[-1] < 1e-5 * hist[0]
