@@ -31,10 +31,18 @@ src/implicit_fine_grid.jl:209-328.)
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# layout knobs for the structured combine, overridable per process for A/B
+# timing on hardware (scripts/bench_combine.py measures every variant; all
+# variants are asserted bitwise-identical in tests)
+_MERGED = os.environ.get("HZT_COMBINE_MERGED", "0") == "1"
+_PREPAD = os.environ.get("HZT_COMBINE_PREPAD", "0") == "1"
+_DIRECT_FACE = os.environ.get("HZT_COMBINE_DIRECT_FACE", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -604,7 +612,10 @@ def _zero_shell(acc, p_lo, ob: Orbit):
     return jnp.pad(acc[idx], pads)
 
 
-def combine_structured(x, sc: StructuredCombine, lay: dict, constrain: bool = False):
+def combine_structured(
+    x, sc: StructuredCombine, lay: dict, constrain: bool = False,
+    merged: bool | None = None,
+):
     """Interface combine via shifted slice-adds (see module docstring).
 
     x: [E, n_local] with E = ept * n^d in cube-major order. Returns the
@@ -616,7 +627,20 @@ def combine_structured(x, sc: StructuredCombine, lay: dict, constrain: bool = Fa
     interface tail is CONCATENATED wide along the last axis before the
     single stack over types, so XLA never tiles tensors with tiny trailing
     dims (a [n,n,n,L,15] stack pads ~3-10x on TPU tiles).
+
+    ``merged`` selects the merged-trailing-dim variant (bitwise-identical
+    output, tests/test_structured_merged.py): the per-class work tensors
+    become [n]*(d-1) + [n*width] so narrow classes stop padding the minor
+    tile dim (an edge [n,n,n,15] block pads 15->128 = 8.5x amplification;
+    merged [n,n,n*15] pads 480->512 = 1.07x; corners 128x -> 4x). Default
+    from env HZT_COMBINE_MERGED until TPU-timed.
     """
+    if merged is None:
+        merged = _MERGED
+    if merged:
+        return _combine_structured_merged(
+            x, sc, lay, constrain, _PREPAD, _DIRECT_FACE
+        )
     n, d, ept = sc.n, sc.d, sc.ept
     E, n_local = x.shape
 
@@ -706,6 +730,162 @@ def combine_structured(x, sc: StructuredCombine, lay: dict, constrain: bool = Fa
     # dynamic_update_slice instead of concatenate([head, tail]): when x is
     # dead after the combine XLA updates in place — the explicit head copy
     # (3x ~0.9 GB live in the 495M-DOF OOM dump) disappears
+    return jax.lax.dynamic_update_slice(x, tail, (0, i0))
+
+
+def _zero_shell_merged(acc, p_lo, ob: Orbit, width: int):
+    """_zero_shell for a merged-last-axis sums array: the interior cut on
+    the last grid axis lands at multiples of ``width``."""
+    if ob.int_lo is None:
+        return jnp.zeros_like(acc)
+    lo = np.array(ob.int_lo) - p_lo
+    hi = np.array(ob.int_hi) + 1 - p_lo
+    ext = np.array(ob.p_max) - np.array(ob.p_min) + 1
+    if (lo == 0).all() and (hi == ext).all():
+        return acc
+    idx = tuple(slice(int(a), int(b)) for a, b in zip(lo[:-1], hi[:-1]))
+    idx = idx + (slice(int(lo[-1] * width), int(hi[-1] * width)),)
+    pads = tuple((int(a), int(e - b)) for a, b, e in zip(lo[:-1], hi[:-1], ext[:-1]))
+    pads = pads + ((int(lo[-1] * width), int((ext[-1] - hi[-1]) * width)),)
+    return jnp.pad(acc[idx], pads)
+
+
+def _zero_shell_cell_merged(acc, dlt, ob: Orbit, n: int, width: int):
+    """Zero-shell for a direct per-cell rebuilt block: the block's position
+    c rebuilds the group at anchor c - dlt, so keep c in
+    [int_lo + dlt, int_hi + dlt] (clipped to the domain)."""
+    if ob.int_lo is None:
+        return jnp.zeros_like(acc)
+    lo = np.clip(np.array(ob.int_lo) + np.array(dlt), 0, n)
+    hi = np.clip(np.array(ob.int_hi) + 1 + np.array(dlt), 0, n)
+    if (lo == 0).all() and (hi == n).all():
+        return acc
+    idx = tuple(slice(int(a), int(b)) for a, b in zip(lo[:-1], hi[:-1]))
+    idx = idx + (slice(int(lo[-1] * width), int(hi[-1] * width)),)
+    pads = tuple((int(a), int(n - b)) for a, b in zip(lo[:-1], hi[:-1]))
+    pads = pads + ((int(lo[-1] * width), int((n - hi[-1]) * width)),)
+    return jnp.pad(acc[idx], pads)
+
+
+def _combine_structured_merged(
+    x, sc: StructuredCombine, lay: dict, constrain: bool,
+    prepad: bool, direct_face: bool,
+):
+    """Merged-trailing-dim form of combine_structured: every work tensor is
+    viewed [n]*(d-1) + [n*width] so the minor two tile dims are (n, n*width)
+    instead of (n, width) — narrow classes (edge width 15, corner width 1)
+    stop amplifying 8-128x against the (8, 128) f32 tile. Identical values
+    (same pieces, same addition order — asserted bitwise in tests).
+
+    ``prepad``: pad every type block by sc.pad on each grid axis once so
+    all shifted reads are interior slices (trades pad ops for copies).
+    ``direct_face``: rebuild valence-2 face cells straight from the inputs
+    instead of materializing face orbit sums (halves face-class traffic:
+    group sums for faces are consumed by exactly two cells).
+    """
+    n, d, ept = sc.n, sc.d, sc.ept
+    E, n_local = x.shape
+    nd = n**d
+    tb_cache: dict = {}
+
+    def type_block(t, col, width):
+        key = (t, col, width)
+        if key not in tb_cache:
+            if sc.order == "type":
+                blk = jax.lax.slice(x, (t * nd, col), ((t + 1) * nd, col + width))
+            else:
+                blk = jax.lax.slice(x, (t, col), (E, col + width), (ept, 1))
+            blk = blk.reshape((n,) * (d - 1) + (n * width,))
+            if prepad:
+                p = sc.pad
+                pads = tuple((p, p) for _ in range(d - 1)) + ((p * width, p * width),)
+                blk = jnp.pad(blk, pads)
+            tb_cache[key] = blk
+        return tb_cache[key]
+
+    def shifted(t, col, width, lo, hi):
+        lo = np.asarray(lo)
+        hi = np.asarray(hi)
+        blk = type_block(t, col, width)
+        if prepad:
+            p = sc.pad
+            idx = tuple(slice(int(a + p), int(b + p)) for a, b in zip(lo[:-1], hi[:-1]))
+            idx = idx + (slice(int((lo[-1] + p) * width), int((hi[-1] + p) * width)),)
+            return blk[idx]
+        lo_c = np.clip(lo, 0, n)
+        hi_c = np.clip(hi, 0, n)
+        idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c[:-1], hi_c[:-1]))
+        idx = idx + (slice(int(lo_c[-1] * width), int(hi_c[-1] * width)),)
+        piece = blk[idx]
+        pads = tuple(
+            (int(lc - l), int(h - hc))
+            for l, lc, h, hc in zip(lo[:-1], lo_c[:-1], hi[:-1], hi_c[:-1])
+        )
+        pads = pads + (
+            (int((lo_c[-1] - lo[-1]) * width), int((hi[-1] - hi_c[-1]) * width)),
+        )
+        if any(p != (0, 0) for p in pads):
+            piece = jnp.pad(piece, pads)
+        return piece
+
+    class_sums = {}
+    for name, (orbits, rebuild, offsets, width) in sc.classes.items():
+        if direct_face and name == "face":
+            continue
+        sums = []
+        for ob in orbits:
+            p_lo = np.array(ob.p_min)
+            p_hi = np.array(ob.p_max) + 1
+            acc = None
+            for dlt, t, l in ob.pattern:
+                piece = shifted(
+                    t, offsets[l], width, p_lo + np.array(dlt), p_hi + np.array(dlt)
+                )
+                acc = piece if acc is None else acc + piece
+            if constrain:
+                acc = _zero_shell_merged(acc, p_lo, ob, width)
+            sums.append((p_lo, acc))
+        class_sums[name] = sums
+
+    i0 = lay["iface_start"]
+    tails = []
+    for t in range(ept):
+        cols = []
+        for name in ("face", "edge", "corner"):
+            if name not in sc.classes:
+                continue
+            orbits, rebuild, offsets, width = sc.classes[name]
+            for l in range(len(offsets)):
+                oi, dlt = rebuild[(t, l)]
+                if direct_face and name == "face":
+                    # valence-2 orbits: each group sum feeds exactly two
+                    # cells — rebuild both directly from the inputs
+                    ob = orbits[oi]
+                    acc = None
+                    for dlt2, t2, l2 in ob.pattern:
+                        s = np.array(dlt2) - np.array(dlt)
+                        piece = shifted(t2, offsets[l2], width, s, s + n)
+                        acc = piece if acc is None else acc + piece
+                    if constrain:
+                        acc = _zero_shell_cell_merged(acc, dlt, ob, n, width)
+                    blk = acc
+                else:
+                    p_lo, acc = class_sums[name][oi]
+                    lo = -np.array(dlt) - p_lo
+                    idx = tuple(slice(int(a), int(a) + n) for a in lo[:-1])
+                    idx = idx + (
+                        slice(int(lo[-1] * width), int((lo[-1] + n) * width)),
+                    )
+                    blk = acc[idx]
+                cols.append(blk.reshape((n,) * d + (width,)))
+        tail_t = jnp.concatenate(cols, axis=-1)
+        tails.append(tail_t.reshape(nd, -1))
+    if sc.order == "type":
+        tail = jnp.concatenate(tails, axis=0)
+    else:
+        tail = jnp.stack(tails, axis=1).reshape(E, -1)
+    if i0 == 0:
+        return tail
     return jax.lax.dynamic_update_slice(x, tail, (0, i0))
 
 

@@ -1,7 +1,9 @@
-"""Experiments on the structured interface combine (NEXT.md item 1).
+"""Time the structured interface-combine layout variants on hardware
+(NEXT.md item 1: the finest-level combine is ~25% of the V-cycle).
 
-Times the finest-level combine variants at the bench config on TPU and
-asserts they produce identical values. Run: python scripts/bench_combine.py [n]
+All variants are bitwise-identical in output (tests/test_structured_merged.py);
+this script picks the fastest on the target chip. Run:
+    python scripts/bench_combine.py [n]        (BC_LEVELS, BC_ORDER env knobs)
 """
 
 import os
@@ -34,7 +36,7 @@ nlevels = int(os.environ.get("BC_LEVELS", "5"))
 k = nlevels - 1
 base = hypercube(3, n, order=order)
 plan = build_grid_plan(base, nlevels, slot_tables=False)
-sc = st.build_structured_combine(plan, k)
+sc = st.build_structured_combine_scaled(plan, k)
 lay_ref = plan.reference.layout[k]
 i0 = int(min(list(lay_ref.face_offsets) + list(lay_ref.edge_offsets) + list(lay_ref.corner_cols)))
 lay = dict(iface_start=i0)
@@ -45,192 +47,62 @@ print(f"n={n} order={order} E={E} n_local={n_local} i0={i0}", flush=True)
 rng = np.random.default_rng(0)
 x = jnp.asarray(rng.standard_normal((E, n_local)), jnp.float32)
 
-
-# --------------------------------------------------------------------- #
-# variant: merged trailing dims — type blocks viewed as [n]*(d-1) + [n*width]
-# so the minor two dims are (n, n*width) instead of (n, width): edge (15)
-# and corner (1) blocks stop padding 8-128x to the (8,128) tile.
-# --------------------------------------------------------------------- #
-def combine_merged(x, sc, lay, constrain=False, prepad=False, direct_face=False):
-    n, d, ept = sc.n, sc.d, sc.ept
-    E, n_local = x.shape
-    nd = n**d
-    tb_cache = {}
-
-    def type_block(t, col, width):
-        """merged view [n]*(d-1) + [n*width]; optionally pre-padded by
-        sc.pad on every grid axis so all shifted reads are interior."""
-        key = (t, col, width)
-        if key not in tb_cache:
-            if sc.order == "type":
-                blk = jax.lax.slice(x, (t * nd, col), ((t + 1) * nd, col + width))
-            else:
-                blk = jax.lax.slice(x, (t, col), (E, col + width), (ept, 1))
-            blk = blk.reshape((n,) * (d - 1) + (n * width,))
-            if prepad:
-                p = sc.pad
-                pads = tuple((p, p) for _ in range(d - 1)) + ((p * width, p * width),)
-                blk = jnp.pad(blk, pads)
-            tb_cache[key] = blk
-        return tb_cache[key]
-
-    def shifted(t, col, width, lo, hi):
-        lo = np.asarray(lo)
-        hi = np.asarray(hi)
-        blk = type_block(t, col, width)
-        if prepad:
-            p = sc.pad
-            idx = tuple(slice(int(a + p), int(b + p)) for a, b in zip(lo[:-1], hi[:-1]))
-            idx = idx + (slice(int((lo[-1] + p) * width), int((hi[-1] + p) * width)),)
-            return blk[idx]
-        lo_c = np.clip(lo, 0, n)
-        hi_c = np.clip(hi, 0, n)
-        idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c[:-1], hi_c[:-1]))
-        idx = idx + (slice(int(lo_c[-1] * width), int(hi_c[-1] * width)),)
-        piece = blk[idx]
-        pads = tuple((int(lc - l), int(h - hc)) for l, lc, h, hc in zip(lo[:-1], lo_c[:-1], hi[:-1], hi_c[:-1]))
-        pads = pads + ((int((lo_c[-1] - lo[-1]) * width), int((hi[-1] - hi_c[-1]) * width)),)
-        if any(p != (0, 0) for p in pads):
-            piece = jnp.pad(piece, pads)
-        return piece
-
-    def zero_shell(acc, p_lo, ob):
-        if ob.int_lo is None:
-            return jnp.zeros_like(acc)
-        lo = np.array(ob.int_lo) - p_lo
-        hi = np.array(ob.int_hi) + 1 - p_lo
-        ext = np.array(ob.p_max) - np.array(ob.p_min) + 1
-        if (lo == 0).all() and (hi == ext).all():
-            return acc
-        # merged last axis: interior cut at multiples of width
-        w = acc.shape[-1] // ext[-1]
-        idx = tuple(slice(int(a), int(b)) for a, b in zip(lo[:-1], hi[:-1]))
-        idx = idx + (slice(int(lo[-1] * w), int(hi[-1] * w)),)
-        pads = tuple((int(a), int(e - b)) for a, b, e in zip(lo[:-1], hi[:-1], ext[:-1]))
-        pads = pads + ((int(lo[-1] * w), int((ext[-1] - hi[-1]) * w)),)
-        return jnp.pad(acc[idx], pads)
-
-    class_sums = {}
-    for name, (orbits, rebuild, offsets, width) in sc.classes.items():
-        if direct_face and name == "face":
-            continue
-        sums = []
-        for ob in orbits:
-            p_lo = np.array(ob.p_min)
-            p_hi = np.array(ob.p_max) + 1
-            acc = None
-            for dlt, t, l in ob.pattern:
-                piece = shifted(t, offsets[l], width, p_lo + np.array(dlt), p_hi + np.array(dlt))
-                acc = piece if acc is None else acc + piece
-            if constrain:
-                acc = zero_shell(acc, p_lo, ob)
-            sums.append((p_lo, acc))
-        class_sums[name] = sums
-
-    i0 = lay["iface_start"]
-    tails = []
-    for t in range(ept):
-        cols = []
-        for name in ("face", "edge", "corner"):
-            if name not in sc.classes:
-                continue
-            orbits, rebuild, offsets, width = sc.classes[name]
-            for l in range(len(offsets)):
-                oi, dlt = rebuild[(t, l)]
-                if direct_face and name == "face":
-                    # valence-2 orbits: rebuild directly from the inputs
-                    ob = orbits[oi]
-                    acc = None
-                    for dlt2, t2, l2 in ob.pattern:
-                        s = np.array(dlt2) - np.array(dlt)
-                        piece = shifted(t2, offsets[l2], width, s, s + n)
-                        acc = piece if acc is None else acc + piece
-                    if constrain:
-                        p_lo2 = np.array(dlt)  # anchor of cell c is c - dlt
-                        acc = zero_shell_cell(acc, dlt, ob, n, width)
-                    blk = acc
-                else:
-                    p_lo, acc = class_sums[name][oi]
-                    lo = -np.array(dlt) - p_lo
-                    idx = tuple(slice(int(a), int(a) + n) for a in lo[:-1])
-                    idx = idx + (slice(int(lo[-1] * width), int((lo[-1] + n) * width)),)
-                    blk = acc[idx]
-                cols.append(blk.reshape((n,) * d + (width,)))
-        tail_t = jnp.concatenate(cols, axis=-1)
-        tails.append(tail_t.reshape(nd, -1))
-    if sc.order == "type":
-        tail = jnp.concatenate(tails, axis=0)
-    else:
-        tail = jnp.stack(tails, axis=1).reshape(E, -1)
-    if i0 == 0:
-        return tail
-    return jax.lax.dynamic_update_slice(x, tail, (0, i0))
+VARIANTS = {
+    "current": dict(merged=False),
+    "merged": dict(merged=True),
+    "merged+prepad": dict(merged=True, prepad=True),
+    "merged+directface": dict(merged=True, direct_face=True),
+    "merged+prepad+directface": dict(merged=True, prepad=True, direct_face=True),
+}
 
 
-def zero_shell_cell(acc, dlt, ob, n, width):
-    """Zero-shell for a direct per-cell block: anchors of cell block c are
-    c - dlt; keep c in [int_lo+dlt, int_hi+dlt]."""
-    if ob.int_lo is None:
-        return jnp.zeros_like(acc)
-    lo = np.clip(np.array(ob.int_lo) + np.array(dlt), 0, n)
-    hi = np.clip(np.array(ob.int_hi) + 1 + np.array(dlt), 0, n)
-    if (lo == 0).all() and (hi == n).all():
-        return acc
-    idx = tuple(slice(int(a), int(b)) for a, b in zip(lo[:-1], hi[:-1]))
-    idx = idx + (slice(int(lo[-1] * width), int(hi[-1] * width)),)
-    pads = tuple((int(a), int(n - b)) for a, b in zip(lo[:-1], hi[:-1]))
-    pads = pads + ((int(lo[-1] * width), int((n - hi[-1]) * width)),)
-    return jnp.pad(acc[idx], pads)
+def run(v, constrain=False):
+    kw = VARIANTS[v]
+    st._PREPAD = kw.get("prepad", False)
+    st._DIRECT_FACE = kw.get("direct_face", False)
+    fn = jax.jit(
+        lambda a: st.combine_structured(
+            a, sc, lay, constrain=constrain, merged=kw["merged"]
+        )
+    )
+    return fn(x)
 
 
-def timeit(name, fn, x, reps=30):
+def timeit(name, v, constrain, reps=30):
+    kw = VARIANTS[v]
+    st._PREPAD = kw.get("prepad", False)
+    st._DIRECT_FACE = kw.get("direct_face", False)
+
     @jax.jit
-    def jfn(x):
+    def jfn(a):
         def body(i, s):
-            out = fn(x + s * jnp.asarray(1e-30, x.dtype))
-            return jnp.sum(out) * jnp.asarray(1e-30, x.dtype)
+            out = st.combine_structured(
+                a + s * jnp.asarray(1e-30, a.dtype), sc, lay,
+                constrain=constrain, merged=kw["merged"],
+            )
+            return jnp.sum(out) * jnp.asarray(1e-30, a.dtype)
 
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), x.dtype))
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), a.dtype))
 
     float(jfn(x))
     t0 = time.perf_counter()
     float(jfn(x))
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:44s} {dt * 1e3:9.3f} ms", flush=True)
+    print(f"{name:46s} {dt * 1e3:9.3f} ms", flush=True)
     return dt
 
 
-ref = jax.jit(lambda v: st.combine_structured(v, sc, lay))(x)
-variants = {
-    "merged": dict(),
-    "merged+prepad": dict(prepad=True),
-    "merged+directface": dict(direct_face=True),
-    "merged+prepad+directface": dict(prepad=True, direct_face=True),
-}
-for name, kw in variants.items():
-    out = jax.jit(lambda v: combine_merged(v, sc, lay, **kw))(x)
-    diff = float(jnp.max(jnp.abs(out - ref)))
-    print(f"{name}: max|diff| = {diff:.3e}", flush=True)
-    assert diff == 0.0, name
+for constrain in (False, True):
+    tag = " constrain" if constrain else ""
+    ref = run("current", constrain)
+    for v in VARIANTS:
+        if v == "current":
+            continue
+        diff = float(jnp.max(jnp.abs(run(v, constrain) - ref)))
+        print(f"{v}{tag}: max|diff| = {diff:.3e}", flush=True)
+        assert diff == 0.0, v
 
-refc = jax.jit(lambda v: st.combine_structured(v, sc, lay, constrain=True))(x)
-for name, kw in variants.items():
-    out = jax.jit(lambda v: combine_merged(v, sc, lay, constrain=True, **kw))(x)
-    diff = float(jnp.max(jnp.abs(out - refc)))
-    print(f"{name} constrain: max|diff| = {diff:.3e}", flush=True)
-    assert diff == 0.0, name
-
-timeit("combine current", lambda v: st.combine_structured(v, sc, lay), x)
-for name, kw in variants.items():
-    timeit(f"combine {name}", lambda v, kw=kw: combine_merged(v, sc, lay, **kw), x)
-timeit(
-    "combine current constrain",
-    lambda v: st.combine_structured(v, sc, lay, constrain=True),
-    x,
-)
-for name, kw in variants.items():
-    timeit(
-        f"combine {name} constrain",
-        lambda v, kw=kw: combine_merged(v, sc, lay, constrain=True, **kw),
-        x,
-    )
+for constrain in (False, True):
+    tag = " constrain" if constrain else ""
+    for v in VARIANTS:
+        timeit(f"{v}{tag}", v, constrain)
