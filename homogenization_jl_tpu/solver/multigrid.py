@@ -905,8 +905,14 @@ class MultigridSolver:
         x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, rs, 0))
         return dist(x)
 
-    def _vcycle_impl(self, x_top, b_top, coeff, chol, Ls, base_elements, interior, lam_max=None):
+    def _vcycle_impl(
+        self, x_top, b_top, coeff, chol, Ls, base_elements, interior,
+        lam_max=None, top=None,
+    ):
         """One V-cycle; returns (x_top, r_finest).
+
+        ``top`` (static) starts the cycle at a sub-finest level — the FMG
+        initializer runs ascending-level V-cycles through this.
 
         Only the FINEST level's state crosses the jit interface: sub-top
         xs/bs are pure scratch (zeroed or overwritten every cycle), so they
@@ -921,7 +927,7 @@ class MultigridSolver:
         `interior` is the coarse-solve interior payload: node-index array for
         coarse chol/inv, [N] bool interior-node mask for coarse cg/mg.
         """
-        top = self.nlevels - 1
+        top = self.nlevels - 1 if top is None else top
         exact = self.smoother == "cg_exact"
         E_loc = x_top.shape[0]
         xs = [None] * self.nlevels
@@ -1118,6 +1124,73 @@ class MultigridSolver:
             if tol and history[-1] <= tol * history[0]:
                 break
         return x, history
+
+    # ------------------------------------------------------------------ #
+    # full multigrid (F-cycle) initializer
+    # ------------------------------------------------------------------ #
+    def _fmg_impl(
+        self, b_top, coeff, chol, Ls, base_elements, interior, lam_max, nu,
+    ):
+        top = self.nlevels - 1
+        bs = [None] * self.nlevels
+        bs[top] = b_top
+        for k in range(top, 0, -1):
+            bs[k - 1] = restrict(self._constrain(bs[k], k, Ls), Ls[k].P_up)
+        if self.coarse_kind == "chol":
+            x = self._coarse_solve_chol(bs[0], chol, base_elements, interior)
+        elif self.coarse_kind == "inv":
+            x = self._coarse_solve_inv(bs[0], chol, base_elements, interior)
+        elif self.coarse_kind == "mg":
+            x = self._coarse_solve_mg(bs[0], coeff, chol, Ls, base_elements, interior)
+        else:
+            x = self._coarse_solve_cg(bs[0], coeff, Ls, base_elements, interior)
+        r = None
+        for k in range(1, top + 1):
+            x = prolong_add(
+                jnp.zeros((b_top.shape[0], Ls[k].stack.shape[1]), b_top.dtype),
+                x, Ls[k].P_up,
+            )
+            for _ in range(nu):
+                x, r = self._vcycle_impl(
+                    x, bs[k], coeff, chol, Ls, base_elements, interior,
+                    lam_max, top=k,
+                )
+        return x, r
+
+    def fmg(
+        self, b, coeff, chol=None, lam_max=None, nu: int = 1, Ls=None,
+        interior=None,
+    ):
+        """Full-multigrid (F-cycle) initializer: restrict the rhs down the
+        hierarchy, solve at the base, then ascend — prolong and run ``nu``
+        V-cycles per level. Returns (x, r_finest) like ``vcycle``.
+
+        The ascent's sub-top V-cycles cost a geometric tail (~1/8 per level
+        down in 3D), so one fmg sweep costs ~1.14 fine V-cycles at nu=1 and
+        lands x at ~discretization-level algebraic error — replacing several
+        fine V-cycle iterations from a zero start. The reference only ever
+        iterates vcycle! from x=0 (src/multigrid.jl:73-119;
+        src/examples/homogenized_coefficients.jl:269) — capability beyond.
+        """
+        if chol is None:
+            assert self.coarse_kind not in ("chol", "inv", "mg"), (
+                "pass coarse_setup(sigma, lam) as chol"
+            )
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        if self.smoother == "chebyshev":
+            assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
+        if not hasattr(self, "_fmg_jit"):
+            self._fmg_jit = jax.jit(self._fmg_impl, static_argnums=(7,))
+        return self._fmg_jit(
+            b,
+            coeff,
+            chol,
+            tuple(self.levels) if Ls is None else tuple(Ls),
+            self.base_elements,
+            self._interior_payload() if interior is None else interior,
+            lam_max,
+            int(nu),
+        )
 
     def _pcg_programs(self):
         """(init_jit, {flexible: step_jit}) — overridden by the slab solver

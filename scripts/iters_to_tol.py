@@ -72,10 +72,16 @@ x, _ = solver.zero_states()
 bb = b * solver.levels[-1].first_copy_mask
 b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
 
+# BENCH_FMG=1: start from one full-multigrid sweep (~1.14 V-cycle cost,
+# counted as one cycle below) instead of x=0
+use_fmg = os.environ.get("BENCH_FMG", "0") == "1"
 history = []
 t0 = time.perf_counter()
 for k in range(max_cycles):
-    x, r = solver.vcycle(x, b, coeff, chol)
+    if k == 0 and use_fmg:
+        x, r = solver.fmg(b, coeff, chol)
+    else:
+        x, r = solver.vcycle(x, b, coeff, chol)
     history.append(float(solver.residual_norm(r)) / b_norm)
     if history[-1] < 1e-4:
         break

@@ -1,0 +1,76 @@
+"""Full-multigrid (F-cycle) initializer (MultigridSolver.fmg): one sweep —
+costing ~1.14 fine V-cycles — must land the iterate well below what several
+plain V-cycles from x=0 reach, and continuing with V-cycles must converge
+to the same solution. The reference only iterates vcycle! from zero
+(src/multigrid.jl:73-119) — this is capability beyond it."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from homogenization_jl_tpu.fem.local_operators import load_vector
+from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+
+def _setup(dim, n, levels, lam=0.0, **solver_opts):
+    base = hypercube(dim, n)
+    plan = build_grid_plan(base, levels, slot_tables=False)
+    rng = np.random.default_rng(5)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, dim))
+    solver = MultigridSolver(plan, **solver_opts)
+    coeff = solver.coefficients(sigma, lam)
+    setup = solver.coarse_setup(sigma, lam)
+    b_ref = load_vector(plan.reference.levels[levels - 1])
+    _, _, detJ, _ = affine_maps(base)
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :])
+    return solver, coeff, setup, b
+
+
+@pytest.mark.parametrize(
+    "dim,n,levels,smoother,coarse,beats",
+    [
+        # beats = how many plain V-cycles from x=0 one FMG sweep (~1.14
+        # V-cycle cost) must outdo. FMG's payoff grows with the per-cycle
+        # contraction factor: at the 190M bench config (contraction ~0.7)
+        # it replaces several cycles; on these tiny fast-contracting test
+        # problems (0.19-0.45/cycle) it must at least beat 1-2.
+        (2, 8, 4, "cg_exact", "chol", 2),
+        (2, 8, 4, "chebyshev", "chol", 1),
+        (3, 4, 3, "cg_exact", "cg", 1),
+    ],
+)
+def test_fmg_beats_vcycles_from_zero(dim, n, levels, smoother, coarse, beats):
+    solver, coeff, setup, b = _setup(
+        dim, n, levels, smoother=smoother, coarse=coarse
+    )
+    lam_max = (
+        solver.estimate_lambda_max(coeff) if smoother == "chebyshev" else None
+    )
+
+    x_f, r_f = solver.fmg(b, coeff, setup, lam_max=lam_max)
+    rn_f = float(solver.residual_norm(r_f))
+
+    x, _ = solver.zero_states()
+    rns = []
+    for _ in range(3):
+        x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
+        rns.append(float(solver.residual_norm(r)))
+    assert rn_f < rns[beats - 1], (rn_f, rns)
+
+    # continuing with V-cycles converges to the same solution
+    x_ref = x
+    for _ in range(57):
+        x_ref, r = solver.vcycle(x_ref, b, coeff, setup, lam_max=lam_max)
+    for _ in range(40):
+        x_f, r_f = solver.vcycle(x_f, b, coeff, setup, lam_max=lam_max)
+    scale = float(jnp.max(jnp.abs(x_ref)))
+    assert float(jnp.max(jnp.abs(x_f - x_ref))) < 1e-9 * scale
+
+
+def test_fmg_nu2_at_least_as_good():
+    solver, coeff, setup, b = _setup(2, 8, 4, smoother="cg_exact")
+    _, r1 = solver.fmg(b, coeff, setup, nu=1)
+    _, r2 = solver.fmg(b, coeff, setup, nu=2)
+    assert float(solver.residual_norm(r2)) <= float(solver.residual_norm(r1))
