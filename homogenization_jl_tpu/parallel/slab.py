@@ -365,6 +365,27 @@ class SlabShardedMultigridSolver(MultigridSolver):
 
         return jax.jit(init), {fl: mk(fl) for fl in (False, True)}
 
+    def _fmg_program(self, nu: int):
+        """shard_map-wrapped FMG sweep (impl inherited unchanged)."""
+        state = P(AXIS, None)
+
+        def body(b, coeff, chol, Ls, elements, interior, lam_max):
+            return self._fmg_impl(
+                b, coeff, chol, Ls, elements, interior, lam_max, nu
+            )
+
+        sm = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                state, P(AXIS, None), P(), self._ls_specs(), P(AXIS, None),
+                P(), P(),
+            ),
+            out_specs=(state, state),
+            check_vma=False,
+        )
+        return jax.jit(sm)
+
     # -- public state helpers ----------------------------------------------- #
     def put(self, a, spec=None):
         """Place a global element-leading array with the slab sharding."""

@@ -1179,9 +1179,15 @@ class MultigridSolver:
             chol = jnp.zeros((0, 0), dtype=self.dtype)
         if self.smoother == "chebyshev":
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
-        if not hasattr(self, "_fmg_jit"):
-            self._fmg_jit = jax.jit(self._fmg_impl, static_argnums=(7,))
-        return self._fmg_jit(
+        # 0.0 placeholder keeps the (sharded) program signature uniform;
+        # only the chebyshev smoother reads it, and it asserts above
+        lam_max = jnp.asarray(0.0 if lam_max is None else lam_max, self.dtype)
+        if not hasattr(self, "_fmg_jits"):
+            self._fmg_jits = {}
+        nu = int(nu)
+        if nu not in self._fmg_jits:
+            self._fmg_jits[nu] = self._fmg_program(nu)
+        return self._fmg_jits[nu](
             b,
             coeff,
             chol,
@@ -1189,8 +1195,18 @@ class MultigridSolver:
             self.base_elements,
             self._interior_payload() if interior is None else interior,
             lam_max,
-            int(nu),
         )
+
+    def _fmg_program(self, nu: int):
+        """One jitted FMG sweep for a fixed nu — overridden by the slab
+        solver with a shard_map-wrapped version of the same impl."""
+
+        def body(b, coeff, chol, Ls, elements, interior, lam_max):
+            return self._fmg_impl(
+                b, coeff, chol, Ls, elements, interior, lam_max, nu
+            )
+
+        return jax.jit(body)
 
     def _pcg_programs(self):
         """(init_jit, {flexible: step_jit}) — overridden by the slab solver

@@ -187,3 +187,28 @@ def test_slab_pcg_matches_single_device():
     err = float(jnp.abs(x_s - x).max()) / max(float(jnp.abs(x).max()), 1e-300)
     assert err < 1e-9, err
     assert hist[-1] < 1e-5 * hist[0]
+
+
+def test_slab_fmg_matches_single_device():
+    """FMG sweep, slab-sharded == single-device at 1e-9."""
+    plan, sigma, b_np = _setup(3, 8, 3)
+    kw = dict(dtype=jnp.float64, coarse="chol", smoother="cg_exact")
+
+    ref = MultigridSolver(plan, **kw)
+    coeff = ref.coefficients(sigma, 0.0)
+    chol = ref.coarse_cholesky(sigma, 0.0)
+    x, r = ref.fmg(jnp.asarray(b_np), coeff, chol)
+
+    sh = SlabShardedMultigridSolver(plan, _mesh(8), **kw)
+    coeff_s = sh.coefficients(sigma, 0.0)
+    chol_s = sh.coarse_setup(sigma, 0.0)
+    x_s, r_s = sh.fmg(sh.put(b_np), coeff_s, chol_s)
+
+    err = float(jnp.abs(x_s - x).max()) / max(float(jnp.abs(x).max()), 1e-300)
+    assert err < 1e-9, err
+    a, b = float(ref.residual_norm(r)), float(sh.residual_norm(r_s))
+    assert abs(a - b) < 1e-9 * max(a, 1e-300)
+    # fmg actually helps: below one plain V-cycle from zero
+    xz, _ = ref.zero_states()
+    _, r1 = ref.vcycle(xz, jnp.asarray(b_np), coeff, chol)
+    assert a < float(ref.residual_norm(r1))
