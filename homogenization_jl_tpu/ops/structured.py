@@ -894,10 +894,13 @@ def _combine_structured_merged(
 # --------------------------------------------------------------------- #
 def combine_structured_slab(
     x, sc: StructuredCombine, lay: dict, W: int, n_shards: int,
-    axis_name: str, constrain: bool = False,
+    axis_name: str, constrain: bool = False, merged: bool | None = None,
 ):
     """Interface combine for one shard of a cube-major state slab-sharded
     along grid axis 0 (x-planes of cubes).
+
+    ``merged`` selects the merged-trailing-dim work-tensor layout (see
+    combine_structured; bitwise-identical, defaults from HZT_COMBINE_MERGED).
 
     ``x``: the shard's local [B, n_local] block, B = W * n^{d-1} * ept, rows
     = cube-major order of the shard's W contiguous x-planes. The combine is
@@ -941,6 +944,8 @@ def combine_structured_slab(
     )
     T = jnp.concatenate([halo_lo, tail, halo_hi], axis=0)  # [A*rpp, tw]
 
+    if merged is None:
+        merged = _MERGED
     grid = (A,) + (n,) * (d - 1)
     tb_cache: dict = {}
 
@@ -951,7 +956,12 @@ def combine_structured_slab(
             blk = jax.lax.slice(
                 Tv, (0, t, col - i0), (A * n2, t + 1, col - i0 + width)
             )
-            tb_cache[key] = blk.reshape(grid + (width,))
+            if merged:
+                # last grid axis merged with the width axis (tile-friendly
+                # minor dims, see combine_structured)
+                tb_cache[key] = blk.reshape((A,) + (n,) * (d - 2) + (n * width,))
+            else:
+                tb_cache[key] = blk.reshape(grid + (width,))
         return tb_cache[key]
 
     def shifted(t, col, width, lo, hi):
@@ -964,11 +974,22 @@ def combine_structured_slab(
         hi_c = hi.copy()
         lo_c[1:] = np.clip(lo[1:], 0, n)
         hi_c[1:] = np.clip(hi[1:], 0, n)
-        idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c, hi_c))
-        piece = type_block(t, col, width)[idx]
-        pads = tuple(
-            (int(lc - l), int(h - hc)) for l, lc, h, hc in zip(lo, lo_c, hi, hi_c)
-        ) + ((0, 0),)
+        if merged:
+            idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c[:-1], hi_c[:-1]))
+            idx = idx + (slice(int(lo_c[-1] * width), int(hi_c[-1] * width)),)
+            piece = type_block(t, col, width)[idx]
+            pads = tuple(
+                (int(lc - l), int(h - hc))
+                for l, lc, h, hc in zip(lo[:-1], lo_c[:-1], hi[:-1], hi_c[:-1])
+            ) + (
+                (int((lo_c[-1] - lo[-1]) * width), int((hi[-1] - hi_c[-1]) * width)),
+            )
+        else:
+            idx = tuple(slice(int(a), int(b)) for a, b in zip(lo_c, hi_c))
+            piece = type_block(t, col, width)[idx]
+            pads = tuple(
+                (int(lc - l), int(h - hc)) for l, lc, h, hc in zip(lo, lo_c, hi, hi_c)
+            ) + ((0, 0),)
         if any(p != (0, 0) for p in pads):
             piece = jnp.pad(piece, pads)
         return piece
@@ -977,7 +998,7 @@ def combine_structured_slab(
     gstart = jax.lax.axis_index(axis_name) * W - pad
     Wp = W + pad  # anchors computed: ext [0, W + pad)
 
-    def zero_shell_slab(acc, p_lo, ob: Orbit):
+    def zero_shell_slab(acc, p_lo, ob: Orbit, width: int):
         if ob.int_lo is None:
             return jnp.zeros_like(acc)
         # axes 1+: static interior slice + zero pad
@@ -985,12 +1006,20 @@ def combine_structured_slab(
         hi = np.array(ob.int_hi[1:]) + 1 - p_lo[1:]
         ext = np.array(ob.p_max[1:]) - np.array(ob.p_min[1:]) + 1
         if not ((lo == 0).all() and (hi == ext).all()):
-            idx = (slice(None),) + tuple(
-                slice(int(a), int(b)) for a, b in zip(lo, hi)
-            )
-            pads = ((0, 0),) + tuple(
-                (int(a), int(e - b)) for a, b, e in zip(lo, hi, ext)
-            ) + ((0, 0),)
+            if merged:
+                idx = (slice(None),) + tuple(
+                    slice(int(a), int(b)) for a, b in zip(lo[:-1], hi[:-1])
+                ) + (slice(int(lo[-1] * width), int(hi[-1] * width)),)
+                pads = ((0, 0),) + tuple(
+                    (int(a), int(e - b)) for a, b, e in zip(lo[:-1], hi[:-1], ext[:-1])
+                ) + ((int(lo[-1] * width), int((ext[-1] - hi[-1]) * width)),)
+            else:
+                idx = (slice(None),) + tuple(
+                    slice(int(a), int(b)) for a, b in zip(lo, hi)
+                )
+                pads = ((0, 0),) + tuple(
+                    (int(a), int(e - b)) for a, b, e in zip(lo, hi, ext)
+                ) + ((0, 0),)
             acc = jnp.pad(acc[idx], pads)
         # axis 0: dynamic mask against the global anchor coordinate
         g = gstart + jnp.arange(acc.shape[0])
@@ -1012,7 +1041,7 @@ def combine_structured_slab(
                 )
                 acc = piece if acc is None else acc + piece
             if constrain:
-                acc = zero_shell_slab(acc, p_lo, ob)
+                acc = zero_shell_slab(acc, p_lo, ob, width)
             sums.append((np.array((0,) + ob.p_min[1:]), acc))
         class_sums[name] = sums
 
@@ -1028,11 +1057,22 @@ def combine_structured_slab(
                 p_lo, acc = class_sums[name][oi]
                 # own planes sit at ext [pad, W + pad); anchor = plane - dlt
                 lo0 = pad - dlt[0]
-                idx = (slice(lo0, lo0 + W),) + tuple(
-                    slice(int(-dlt[ax] - p_lo[ax]), int(-dlt[ax] - p_lo[ax]) + n)
-                    for ax in range(1, d)
-                )
-                cols.append(acc[idx])
+                if merged:
+                    idx = (slice(lo0, lo0 + W),) + tuple(
+                        slice(int(-dlt[ax] - p_lo[ax]), int(-dlt[ax] - p_lo[ax]) + n)
+                        for ax in range(1, d - 1)
+                    )
+                    last = int(-dlt[d - 1] - p_lo[d - 1])
+                    idx = idx + (slice(last * width, (last + n) * width),)
+                    cols.append(
+                        acc[idx].reshape((W,) + (n,) * (d - 1) + (width,))
+                    )
+                else:
+                    idx = (slice(lo0, lo0 + W),) + tuple(
+                        slice(int(-dlt[ax] - p_lo[ax]), int(-dlt[ax] - p_lo[ax]) + n)
+                        for ax in range(1, d)
+                    )
+                    cols.append(acc[idx])
         tail_t = jnp.concatenate(cols, axis=-1)  # [W, n, .., tw]
         tails.append(tail_t.reshape(W * n2, tw))
     tail_out = jnp.stack(tails, axis=1).reshape(B, tw)

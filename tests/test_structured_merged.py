@@ -47,3 +47,48 @@ def test_merged_combine_bitwise_equal(order, prepad, direct_face, monkeypatch):
             lambda a: st.combine_structured(a, sc, lay, constrain=constrain, merged=True)
         )(x)
         assert float(jnp.max(jnp.abs(got - ref))) == 0.0, (constrain,)
+
+
+def test_merged_slab_combine_and_vcycle_bitwise_equal(monkeypatch):
+    """Slab-sharded merged combine == slab current combine, bitwise, on the
+    8-virtual-device mesh — including the folded-constraint path via two
+    full V-cycles (cg_exact smoothing exercises combine_constrained)."""
+    from jax.sharding import Mesh
+    from homogenization_jl_tpu.fem.local_operators import load_vector
+    from homogenization_jl_tpu.mesh.grid import affine_maps
+    from homogenization_jl_tpu.parallel.slab import SlabShardedMultigridSolver
+
+    base = hypercube(3, 8, order="cube")
+    plan = build_grid_plan(base, 3, slot_tables=False)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    rng = np.random.default_rng(1)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 3))
+    b_ref = load_vector(plan.reference.levels[2])
+    _, _, detJ, _ = affine_maps(base)
+    b_np = detJ[:, None] * b_ref[None, :]
+    xs = [
+        rng.standard_normal((base.nelements, plan.n_local(k)))
+        for k in range(plan.nlevels)
+    ]
+
+    def run(merged):
+        # the knob is read at TRACE time — set it, then build AND use
+        monkeypatch.setattr(st, "_MERGED", merged)
+        sh = SlabShardedMultigridSolver(
+            plan, mesh, dtype=jnp.float64, coarse="cg", smoother="cg_exact"
+        )
+        coeff = sh.coefficients(sigma, 0.2)
+        setup = sh.coarse_setup(sigma, 0.2)
+        combs = [np.asarray(sh.combine(sh.put(xs[k]), k)) for k in range(plan.nlevels)]
+        x, _ = sh.zero_states()
+        bb = sh.put(b_np)
+        for _ in range(2):
+            x, r = sh.vcycle(x, bb, coeff, setup)
+        return combs, np.asarray(x), np.asarray(r)
+
+    combs_a, x_a, r_a = run(False)
+    combs_b, x_b, r_b = run(True)
+    for k, (a, b) in enumerate(zip(combs_a, combs_b)):
+        assert np.abs(a - b).max() == 0.0, k
+    assert np.abs(x_a - x_b).max() == 0.0
+    assert np.abs(r_a - r_b).max() == 0.0
