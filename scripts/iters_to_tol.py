@@ -26,6 +26,10 @@ from homogenization_jl_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the host's axon TPU plugin overrides the env var alone
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,18 +77,39 @@ bb = b * solver.levels[-1].first_copy_mask
 b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
 
 # BENCH_FMG=1: start from one full-multigrid sweep (~1.14 V-cycle cost,
-# counted as one cycle below) instead of x=0
+# counted as one cycle below) instead of x=0.
+# BENCH_PCG=1: V-cycle-preconditioned CG outer iteration (requires
+# BENCH_SMOOTHER=chebyshev; ~1.2 V-cycle cost per iteration — one V-cycle
+# + one fine apply). Composes with BENCH_FMG (FMG start, then PCG).
 use_fmg = os.environ.get("BENCH_FMG", "0") == "1"
+use_pcg = os.environ.get("BENCH_PCG", "0") == "1"
+lam_max = (
+    solver.estimate_lambda_max(coeff)
+    if solver.smoother == "chebyshev"
+    else None
+)
 history = []
 t0 = time.perf_counter()
-for k in range(max_cycles):
-    if k == 0 and use_fmg:
-        x, r = solver.fmg(b, coeff, chol)
-    else:
-        x, r = solver.vcycle(x, b, coeff, chol)
+if use_fmg:
+    x, r = solver.fmg(b, coeff, chol, lam_max=lam_max)
     history.append(float(solver.residual_norm(r)) / b_norm)
-    if history[-1] < 1e-4:
-        break
+if use_pcg:
+    # stop at 1e-4 relative to b: pcg's tol is relative to its own start
+    # residual, which is history[0]*b_norm after an FMG start and ~b_norm
+    # from x=0
+    tol_pcg = 1e-4 / history[0] if history else 1e-4
+    x, hist_p = solver.pcg(
+        b, coeff, chol, lam_max=lam_max, x=x, iters=max_cycles,
+        tol=tol_pcg,
+    )
+    # hist_p[0] is the (already recorded, under fmg) initial residual
+    history.extend(h / b_norm for h in hist_p[1:])
+else:
+    for k in range(max_cycles - len(history)):
+        x, r = solver.vcycle(x, b, coeff, chol, lam_max=lam_max)
+        history.append(float(solver.residual_norm(r)) / b_norm)
+        if history[-1] < 1e-4:
+            break
 wall = time.perf_counter() - t0
 
 

@@ -21,6 +21,12 @@ from homogenization_jl_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the host's axon TPU plugin overrides the env var alone
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
