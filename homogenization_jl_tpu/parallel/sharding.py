@@ -157,14 +157,15 @@ def build_sharded_gather_tables(plan: GridPlan, level: int, n_shards: int, E_pad
             Gmax = max(Gmax, len(glist))
             lgmap = np.searchsorted(glist, gmap_pad[lo:hi])
             oe = o_elem[glist].astype(np.int64)
-            om = o_mask[glist].copy()
+            om = (o_mask[glist] > 0) & ((oe >= lo) & (oe < hi))
             in_shard = (oe >= lo) & (oe < hi)
-            om = om * in_shard
             oe = np.where(in_shard, oe - lo, 0)
             per_shard.append((oe, o_local[glist], om, lgmap))
         OE = np.zeros((n_shards, Gmax, M), dtype=np.int32)
         OL = np.zeros((n_shards, Gmax, M), dtype=np.int32)
-        OM = np.zeros((n_shards, Gmax, M), dtype=np.float64)
+        # bool owner mask: 8x less HBM than the f64 round-1 form; the
+        # combine's einsum casts to the state dtype on the fly
+        OM = np.zeros((n_shards, Gmax, M), dtype=bool)
         GM = np.zeros((n_shards, B, L), dtype=np.int32)
         for s_i, (oe, ol, om, lgmap) in enumerate(per_shard):
             g = oe.shape[0]
