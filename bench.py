@@ -86,6 +86,8 @@ def main():
         smoother=smoother,
         apply_precision=precision,
         smooth_precision=smooth_precision,
+        # e.g. "bfloat16": smoother direction vectors stored half-width
+        direction_dtype=os.environ.get("BENCH_DIRECTION_DTYPE") or None,
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
                 # 5e-2 keeps the 12-cycle contraction unchanged vs 1e-6 (round 3;

@@ -86,6 +86,7 @@ class MultigridSolver:
         coarse_mg_dense_limit: int = 4000,
         constraint: str = "auto",
         smooth_precision=None,
+        direction_dtype=None,
     ):
         self.plan = plan
         self.dtype = dtype
@@ -116,6 +117,15 @@ class MultigridSolver:
         # remaining 2x identified in round 2, PERFORMANCE.md).
         self.smooth_precision = (
             smooth_precision if smooth_precision is not None else self.apply_precision
+        )
+        # Storage dtype for the smoothers' DIRECTION vectors between steps
+        # (e.g. "bfloat16": halves their HBM traffic). The conversions fuse
+        # into the consuming kernels; numerical guard: cg_exact recomputes
+        # its entry residual at full precision each smooth, so direction
+        # rounding perturbs (doesn't accumulate into) the V-cycle, same
+        # argument as smooth_precision. None = store at the state dtype.
+        self.direction_dtype = (
+            jnp.dtype(direction_dtype) if direction_dtype is not None else None
         )
 
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
@@ -615,18 +625,21 @@ class MultigridSolver:
         # (possibly reduced) smoothing precision; the exit residual feeds
         # restriction and stays at full apply precision
         sp = self.smooth_precision
+        dd = self.direction_dtype
+        store = (lambda v: v.astype(dd)) if dd is not None else (lambda v: v)
+        load = (lambda v: v.astype(x.dtype)) if dd is not None else (lambda v: v)
         r = residual(x, sp)
         z = dinv * r
-        p = (1.0 / theta) * z
-        x = x + p
+        p = store((1.0 / theta) * z)
+        x = x + load(p)
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(steps - 1):
             r = residual(x, sp)
             z = dinv * r
             rho_new = 1.0 / (2.0 * sigma - rho)
-            p = rho_new * rho * p + (2.0 * rho_new / delta) * z
-            x = x + p
+            p = store(rho_new * rho * load(p) + (2.0 * rho_new / delta) * z)
+            x = x + load(p)
             rho = rho_new
         r = residual(x)
         return x, r
@@ -690,20 +703,24 @@ class MultigridSolver:
             r_loc = self._local_residual(x, b, coeff, k, Ls)
         rc = self._combine_constrained(r_loc, k, Ls)
         rs = self._vdot(rc * w, rc)
-        p = rc
+        dd = self.direction_dtype
+        store = (lambda v: v.astype(dd)) if dd is not None else (lambda v: v)
+        load = (lambda v: v.astype(x.dtype)) if dd is not None else (lambda v: v)
+        p = store(rc)
         for i in range(steps):
+            pf = load(p)
             Ap_loc = self._apply_op(
-                p, coeff, k, Ls, precision=self.smooth_precision
+                pf, coeff, k, Ls, precision=self.smooth_precision
             )
             if not structured:
                 Ap_loc = self._constrain(Ap_loc, k, Ls)
-            alpha = self._safe_div(rs, self._vdot(p, Ap_loc))
-            x = x + alpha * p
+            alpha = self._safe_div(rs, self._vdot(pf, Ap_loc))
+            x = x + alpha * pf
             r_loc = r_loc - alpha * Ap_loc
             if i + 1 < steps:
                 rc = self._combine_constrained(r_loc, k, Ls)
                 rs_new = self._vdot(rc * w, rc)
-                p = rc + self._safe_div(rs_new, rs) * p
+                p = store(rc + self._safe_div(rs_new, rs) * pf)
                 rs = rs_new
         return x, r_loc
 

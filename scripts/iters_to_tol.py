@@ -64,6 +64,7 @@ solver = MultigridSolver(
     smoother=os.environ.get("BENCH_SMOOTHER", "cg_exact"),
     apply_precision=os.environ.get("BENCH_PRECISION", "highest"),
     smooth_precision=os.environ.get("BENCH_SMOOTH_PRECISION", "high"),
+    direction_dtype=os.environ.get("BENCH_DIRECTION_DTYPE") or None,
     coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 5e-2)),
 )
 coeff = solver.coefficients(sigma, 0.0)

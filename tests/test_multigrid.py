@@ -121,3 +121,39 @@ def test_cg_exact_smoother_matches_parity_cg():
 
     err = np.abs(sols["cg"] - sols["cg_exact"]).max()
     assert err < 1e-9, f"solutions diverge: {err}"
+
+
+def test_bf16_direction_storage_convergence():
+    """direction_dtype='bfloat16' (smoother direction vectors stored
+    half-width) must not materially change the V-cycle contraction: the
+    cg_exact smoother recomputes its entry residual at full precision each
+    smooth, so direction rounding perturbs rather than accumulates."""
+    from homogenization_jl_tpu.fem.local_operators import load_vector
+    from homogenization_jl_tpu.mesh.grid import affine_maps
+
+    base = hypercube(2, 8)
+    plan = build_grid_plan(base, 4, slot_tables=False)
+    rng = np.random.default_rng(2)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 2))
+    b_ref = load_vector(plan.reference.levels[3])
+    _, _, detJ, _ = affine_maps(base)
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=jnp.float32)
+
+    finals = {}
+    for dd in (None, "bfloat16"):
+        for smoother in ("cg_exact", "chebyshev"):
+            s = MultigridSolver(
+                plan, dtype=jnp.float32, smoother=smoother, direction_dtype=dd
+            )
+            coeff = s.coefficients(sigma, 0.0)
+            chol = s.coarse_cholesky(sigma, 0.0)
+            lam_max = (
+                s.estimate_lambda_max(coeff) if smoother == "chebyshev" else None
+            )
+            x, _ = s.zero_states()
+            for _ in range(10):
+                x, r = s.vcycle(x, b, coeff, chol, lam_max=lam_max)
+            finals[(dd, smoother)] = float(s.residual_norm(r))
+    for smoother in ("cg_exact", "chebyshev"):
+        a, c = finals[(None, smoother)], finals[("bfloat16", smoother)]
+        assert c < 5 * max(a, 1e-7), (smoother, a, c)
