@@ -1144,6 +1144,64 @@ class MultigridSolver:
                 break
         return x, history
 
+    def solve(
+        self, b, sigma_el, lam: float = 0.0, *, tol: float = 1e-8,
+        max_cycles: int = 100, method: str = "auto", x=None, verbose: bool = False,
+    ):
+        """One-call solve of (lam - div sigma grad) u = b to a relative
+        residual tolerance: builds the coefficients and coarse setup,
+        picks the iteration, runs it, returns (x, history).
+
+        ``method``: "vcycle" (plain V-cycle iteration from x or zero),
+        "fmg" (full-multigrid start, then V-cycles), "pcg" (V-cycle-
+        preconditioned CG; requires the chebyshev smoother), "fmg+pcg",
+        or "auto" = "fmg+pcg" for chebyshev solvers and "fmg" otherwise.
+        The reference exposes no solve driver — its examples hand-roll the
+        vcycle! loop (src/examples/homogenized_coefficients.jl:269).
+        """
+        if method == "auto":
+            method = "fmg+pcg" if self.smoother == "chebyshev" else "fmg"
+        coeff = self.coefficients(sigma_el, lam)
+        setup = self.coarse_setup(sigma_el, lam)
+        lam_max = (
+            self.estimate_lambda_max(coeff)
+            if self.smoother == "chebyshev"
+            else None
+        )
+        bb = apply_mask(b, self.levels[-1].first_copy_mask)
+        b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
+        history = []
+        if method in ("fmg", "fmg+pcg"):
+            x, r = self.fmg(b, coeff, setup, lam_max=lam_max)
+            history.append(float(self.residual_norm(r)) / b_norm)
+            if verbose:
+                print(f"fmg: rel residual {history[-1]:.3e}", flush=True)
+        elif x is None:
+            x, _ = self.zero_states()
+        if method in ("pcg", "fmg+pcg"):
+            if not (history and history[-1] <= tol):
+                tol_p = tol / history[-1] if history else tol
+                x, hist_p = self.pcg(
+                    b, coeff, setup, lam_max=lam_max, x=x,
+                    iters=max_cycles, tol=tol_p,
+                )
+                history.extend(h / b_norm for h in hist_p[1:])
+                if verbose:
+                    print(f"pcg: rel residual {history[-1]:.3e} "
+                          f"after {len(hist_p) - 1} iters", flush=True)
+        else:
+            while len(history) < max_cycles and not (
+                history and history[-1] <= tol
+            ):
+                x, r = self.vcycle(x, b, coeff, setup, lam_max=lam_max)
+                history.append(float(self.residual_norm(r)) / b_norm)
+                if verbose:
+                    print(
+                        f"cycle {len(history)}: rel residual {history[-1]:.3e}",
+                        flush=True,
+                    )
+        return x, history
+
     # ------------------------------------------------------------------ #
     # full multigrid (F-cycle) initializer
     # ------------------------------------------------------------------ #

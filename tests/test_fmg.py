@@ -74,3 +74,29 @@ def test_fmg_nu2_at_least_as_good():
     _, r1 = solver.fmg(b, coeff, setup, nu=1)
     _, r2 = solver.fmg(b, coeff, setup, nu=2)
     assert float(solver.residual_norm(r2)) <= float(solver.residual_norm(r1))
+
+
+@pytest.mark.parametrize("method", ["vcycle", "fmg", "pcg", "fmg+pcg", "auto"])
+def test_solve_api(method):
+    """MultigridSolver.solve: one-call driver for every iteration flavor,
+    to tolerance (the reference hand-rolls the vcycle! loop)."""
+    smoother = "chebyshev" if method in ("pcg", "fmg+pcg", "auto") else "cg_exact"
+    base = hypercube(2, 8)
+    plan = build_grid_plan(base, 4, slot_tables=False)
+    rng = np.random.default_rng(5)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 2))
+    solver = MultigridSolver(plan, smoother=smoother)
+    b_ref = load_vector(plan.reference.levels[3])
+    _, _, detJ, _ = affine_maps(base)
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :])
+
+    x, hist = solver.solve(b, sigma, 0.0, tol=1e-9, max_cycles=60, method=method)
+    assert hist[-1] <= 1e-9, hist[-3:]
+    # the residual of the returned x really is what history claims
+    coeff = solver.coefficients(sigma, 0.0)
+    r = solver._combine_constrained(
+        b - solver._apply_op(x, coeff, plan.nlevels - 1), plan.nlevels - 1
+    )
+    bb = b * solver.levels[-1].first_copy_mask
+    rel = float(solver.residual_norm(r)) / float(jnp.sqrt(jnp.vdot(bb, bb)))
+    assert rel <= 2e-9, rel
