@@ -45,14 +45,15 @@ AXIS = "e"
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)
 class ShardedLevelTables:
-    """Per-level sharded tables; all leading-axis-[n_shards] arrays."""
+    """Per-level cross-shard tables; leading-axis-[n_shards] arrays.
 
-    loc_gather: np.ndarray  # [S, L] local flat idx for gather (pad -> 0)
-    loc_scatter: np.ndarray  # [S, L] local flat idx for scatter (pad -> OOR)
-    loc_group: np.ndarray  # [S, L] shard-local group id (pad -> trash)
-    n_loc_groups: int  # static: max local groups over shards (+1 trash)
-    cross_gather: np.ndarray  # [S, C]
-    cross_scatter: np.ndarray  # [S, C]
+    Only the CROSS part of the interface topology needs per-DOF flat
+    indices (O(surface)); the intra-shard combine runs on the cell-granular
+    gather tables (build_sharded_gather_tables), so no O(volume) slot
+    expansion exists anywhere on this path."""
+
+    cross_gather: np.ndarray  # [S, C] local flat idx for gather (pad -> 0)
+    cross_scatter: np.ndarray  # [S, C] local flat idx (pad -> OOR, dropped)
     cross_group: np.ndarray  # [S, C] global cross-group id (pad -> trash)
     n_cross_groups: int  # static (+1 trash)
 
@@ -68,60 +69,75 @@ def _pad_rows(rows: list, pad_val: int, width: int | None = None) -> np.ndarray:
 def build_sharded_tables(
     plan: GridPlan, level: int, n_shards: int, E_pad: int
 ) -> ShardedLevelTables:
-    """Split the level's CombineTable by the block partition of elements."""
-    t = plan.levels[level].combine
+    """Cross-shard interface tables derived from the gather (owner) tables.
+
+    A group is cross-shard iff its valid owners' elements span more than
+    one block of the element partition. For each such group, every valid
+    owner cell (element e, local cell l) expands to its ``width``
+    consecutive flat columns in the owning shard's local block — these are
+    both the gather sources (partial-sum inputs) and scatter targets
+    (every copy receives the psum-med total). O(surface) work and storage;
+    the plan's per-DOF slot tables (``slot_tables=True``) are NOT needed —
+    the round-2 verdict's flat-slot requirement is gone from this path too
+    (the slab solver never had it)."""
+    lp = plan.levels[level]
+    lay = plan.reference.layout[level]
+    assert lay is not None, "sharded combine needs the contiguous layout"
     n_local = plan.n_local(level)
     B = E_pad // n_shards
     size_local = B * n_local  # flat size of one shard's block
 
-    slot_shard = t.slot_elem.astype(np.int64) // B
-    # group -> does it span multiple shards?
-    order = np.argsort(t.slot_group, kind="stable")
-    g_sorted = t.slot_group[order]
-    s_sorted = slot_shard[order]
-    # for each group: min and max shard touching it
-    G = t.n_groups
-    min_s = np.full(G, n_shards, dtype=np.int64)
-    max_s = np.full(G, -1, dtype=np.int64)
-    np.minimum.at(min_s, g_sorted, s_sorted)
-    np.maximum.at(max_s, g_sorted, s_sorted)
-    cross = min_s != max_s  # [G]
+    specs = []
+    if lp.gather.face is not None:
+        specs.append((lp.gather.face, lay.face_offsets, lay.npf))
+    if lp.gather.edge is not None and lay.npe > 0:
+        specs.append((lp.gather.edge, lay.edge_offsets, lay.npe))
+    if lp.gather.corner is not None:
+        specs.append((lp.gather.corner, lay.corner_cols, 1))
 
-    # global numbering of cross groups
-    cross_ids = np.cumsum(cross) - 1  # valid where cross
-    n_cross = int(cross.sum())
+    cr_g = [[] for _ in range(n_shards)]
+    cr_grp = [[] for _ in range(n_shards)]
+    next_id = 0
+    for (oe, ol, om, _gmap), offsets, width in specs:
+        valid = om > 0
+        oe64 = oe.astype(np.int64)
+        sh = oe64 // B
+        mn = np.where(valid, sh, n_shards).min(axis=1)
+        mx = np.where(valid, sh, -1).max(axis=1)
+        gi = np.nonzero((mx >= 0) & (mn != mx))[0]  # cross groups
+        if len(gi) == 0:
+            continue
+        # one psum segment per (cell group, in-cell position): position i
+        # of every owner cell is the SAME fine DOF (the plan's canonical
+        # in-cell order aligns owner columns — what the cell-granular
+        # gather combine's elementwise owner sum relies on too)
+        base_ids = next_id + np.arange(len(gi), dtype=np.int64) * width
+        next_id += len(gi) * width
+        rsel, jsel = np.nonzero(valid[gi])  # (cross group, valid owner)
+        e = oe64[gi[rsel], jsel]
+        l = ol[gi[rsel], jsel].astype(np.int64)
+        s = e // B
+        offs = np.asarray(offsets, dtype=np.int64)
+        base = (e - s * B) * n_local + offs[l]  # [K]
+        pos = np.arange(width, dtype=np.int64)
+        flat = (base[:, None] + pos).ravel()
+        grp = (base_ids[rsel][:, None] + pos).ravel()
+        s_w = np.repeat(s, width)
+        for s_i in range(n_shards):
+            m = s_w == s_i
+            cr_g[s_i].append(flat[m])
+            cr_grp[s_i].append(grp[m])
 
-    loc_g, loc_s, loc_grp = [], [], []
-    cr_g, cr_s, cr_grp = [], [], []
-    slot_local_flat = (
-        (t.slot_elem.astype(np.int64) - slot_shard * B) * n_local + t.slot_node
-    )
-    is_cross_slot = cross[t.slot_group]
-    n_loc_groups = 0
-    for s in range(n_shards):
-        on_s = slot_shard == s
-        # local groups of this shard, relabeled densely
-        li = on_s & ~is_cross_slot
-        groups_here = t.slot_group[li]
-        uniq, inv = np.unique(groups_here, return_inverse=True)
-        n_loc_groups = max(n_loc_groups, len(uniq))
-        loc_g.append(slot_local_flat[li])
-        loc_s.append(slot_local_flat[li])
-        loc_grp.append(inv)
-        ci = on_s & is_cross_slot
-        cr_g.append(slot_local_flat[ci])
-        cr_s.append(slot_local_flat[ci])
-        cr_grp.append(cross_ids[t.slot_group[ci]])
-
+    cat = lambda rows: [
+        np.concatenate(r) if r else np.empty(0, dtype=np.int64) for r in rows
+    ]
+    cr_g = cat(cr_g)
+    cr_grp = cat(cr_grp)
     return ShardedLevelTables(
-        loc_gather=_pad_rows(loc_g, 0),
-        loc_scatter=_pad_rows(loc_s, size_local),  # OOR -> dropped
-        loc_group=_pad_rows(loc_grp, n_loc_groups),
-        n_loc_groups=n_loc_groups + 1,  # + trash segment
         cross_gather=_pad_rows(cr_g, 0),
-        cross_scatter=_pad_rows(cr_s, size_local),
-        cross_group=_pad_rows(cr_grp, n_cross),
-        n_cross_groups=n_cross + 1,
+        cross_scatter=_pad_rows(cr_g, size_local),  # OOR pad -> dropped
+        cross_group=_pad_rows(cr_grp, next_id),
+        n_cross_groups=next_id + 1,
     )
 
 
@@ -287,10 +303,6 @@ class ShardedMultigridSolver:
                         _pad_elems(lp.first_copy_mask, self.E_pad), P(AXIS, None)
                     ),
                     P_up=dev(inner.levels[k].P_up, P()) if k > 0 else None,
-                    loc_gather=dev(tabs.loc_gather, P(AXIS, None)),
-                    loc_scatter=dev(tabs.loc_scatter, P(AXIS, None)),
-                    loc_group=dev(tabs.loc_group, P(AXIS, None)),
-                    n_loc_groups=tabs.n_loc_groups,
                     cross_gather=dev(tabs.cross_gather, P(AXIS, None)),
                     cross_scatter=dev(tabs.cross_scatter, P(AXIS, None)),
                     cross_group=dev(tabs.cross_group, P(AXIS, None)),
@@ -589,9 +601,6 @@ class ShardedMultigridSolver:
         boundary_mask=P(AXIS, None),
         first_copy_mask=P(AXIS, None),
         P_up=P(),
-        loc_gather=P(AXIS, None),
-        loc_scatter=P(AXIS, None),
-        loc_group=P(AXIS, None),
         cross_gather=P(AXIS, None),
         cross_scatter=P(AXIS, None),
         cross_group=P(AXIS, None),
@@ -619,10 +628,7 @@ class ShardedMultigridSolver:
         return out
 
     def _level_statics(self, k):
-        return dict(
-            n_loc_groups=self.levels[k]["n_loc_groups"],
-            n_cross_groups=self.levels[k]["n_cross_groups"],
-        )
+        return dict(n_cross_groups=self.levels[k]["n_cross_groups"])
 
     def _make_vcycle(self):
         from ..ops.transfer import prolong_add, restrict

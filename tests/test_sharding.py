@@ -23,7 +23,10 @@ def _setup(dim, n, levels, lam=0.0, seed=3):
     rng = np.random.default_rng(seed)
     field = generate_conductivity(dim, n, rng)
     sigma = conductivity_per_element(base, field, np.zeros(dim))
-    plan = build_grid_plan(base, levels)
+    # slot_tables=False: the general-mesh sharded solver derives its
+    # O(surface) cross tables from the gather tables (round-3: the flat
+    # per-DOF slot expansion is not required by ANY solver path anymore)
+    plan = build_grid_plan(base, levels, slot_tables=False)
     b_ref = load_vector(plan.reference.levels[levels - 1])
     _, _, detJ, _ = affine_maps(base)
     b = detJ[:, None] * b_ref[None, :]
@@ -148,17 +151,30 @@ def test_sharded_driver_sigma_matches_single_device():
     )
 
 
-def test_cross_group_tables_cover_all_interface_dofs():
-    """Local + cross groups partition the combine table groups."""
+def test_cross_group_tables_cover_all_cross_interface_dofs():
+    """Every duplicated DOF whose owner elements span shards appears in the
+    cross tables exactly once per copy (exact partition equivalence vs the
+    per-DOF slot expansion is pinned in tests/test_sharded_cross_tables.py;
+    the intra-shard part needs no tables — the cell-granular gather combine
+    covers it)."""
+    from homogenization_jl_tpu.ops.plan import build_grid_plan as bgp
     from homogenization_jl_tpu.parallel.sharding import build_sharded_tables
 
-    plan, _, _ = _setup(3, 2, 3)
-    E = plan.base.nelements
+    base = hypercube(3, 2)
+    plan = bgp(base, 3, slot_tables=True)  # slots = the counting oracle
+    E = base.nelements
     S = 8
     E_pad = ((E + S - 1) // S) * S
+    B = E_pad // S
     for k in range(plan.nlevels):
         t = plan.levels[k].combine
+        shard = t.slot_elem.astype(np.int64) // B
+        G = t.n_groups
+        mn = np.full(G, S, dtype=np.int64)
+        mx = np.full(G, -1, dtype=np.int64)
+        np.minimum.at(mn, t.slot_group, shard)
+        np.maximum.at(mx, t.slot_group, shard)
+        n_cross_slots_expected = int((mn != mx)[t.slot_group].sum())
         tabs = build_sharded_tables(plan, k, S, E_pad)
-        n_loc_slots = int((tabs.loc_group < tabs.n_loc_groups - 1).sum())
         n_cross_slots = int((tabs.cross_group < tabs.n_cross_groups - 1).sum())
-        assert n_loc_slots + n_cross_slots == len(t.slot_group)
+        assert n_cross_slots == n_cross_slots_expected, k
