@@ -296,9 +296,10 @@ def build_grid_plan(
     ``contiguous``: renumber reference nodes so interface blocks are
     contiguous columns (windowed gathers/scatters in the combine).
     ``slot_tables``: build the flat per-DOF slot tables (CombineTable) —
-    required by combine="flat" and the sharded solver; the default gather/
-    structured combines don't need them and skipping halves plan-build time
-    at large bases."""
+    required only by the legacy combine="flat" form (and used as the
+    counting oracle in tests); every production path — gather, structured,
+    both sharded solvers — builds without them, and skipping halves
+    plan-build time at large bases."""
     assert np.all(np.diff(base.elements, axis=1) > 0), "element rows must be sorted"
     dim = base.dim
     ref = refined_reference(dim, nlevels)
