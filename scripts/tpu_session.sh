@@ -1,0 +1,31 @@
+#!/bin/bash
+# Sequential TPU runs (ONE process at a time), queued for when the chip is back.
+# Pending hardware runs staged while the TPU tunnel was down (late round 3).
+# Each writes to /tmp/tpu_runs/*.log; results go to PERFORMANCE.md/ACCURACY.md.
+cd /root/repo
+echo "=== combine variants microbench at bench scale ==="
+BC_LEVELS=5 timeout 5400 python -u scripts/bench_combine.py 32 > /tmp/tpu_runs/combine32.log 2>&1
+echo "combine exit=$?"
+echo "=== bench.py baseline (current combine) ==="
+timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_current.log 2>&1
+echo "bench exit=$?"
+echo "=== bench.py merged combine ==="
+HZT_COMBINE_MERGED=1 timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_merged.log 2>&1
+echo "bench merged exit=$?"
+echo "=== st1 alpha=100 with pcg (the stall-rescue record) ==="
+ST1_METHOD=pcg timeout 5400 python -u scripts/run_st1.py 32 4 100.0 40 > /tmp/tpu_runs/st1_pcg100.log 2>&1
+echo "st1 exit=$?"
+echo "=== cycles-to-tol: plain vs FMG start ==="
+timeout 3600 python -u scripts/iters_to_tol.py 32 5 30 > /tmp/tpu_runs/iters_plain.log 2>&1
+echo "iters plain exit=$?"
+BENCH_FMG=1 timeout 3600 python -u scripts/iters_to_tol.py 32 5 30 > /tmp/tpu_runs/iters_fmg.log 2>&1
+echo "iters fmg exit=$?"
+BENCH_SMOOTHER=chebyshev timeout 3600 python -u scripts/iters_to_tol.py 32 5 40 > /tmp/tpu_runs/iters_cheb.log 2>&1
+echo "iters cheb exit=$?"
+BENCH_SMOOTHER=chebyshev BENCH_PCG=1 timeout 3600 python -u scripts/iters_to_tol.py 32 5 40 > /tmp/tpu_runs/iters_pcg.log 2>&1
+echo "iters pcg exit=$?"
+BENCH_SMOOTHER=chebyshev BENCH_PCG=1 BENCH_FMG=1 timeout 3600 python -u scripts/iters_to_tol.py 32 5 40 > /tmp/tpu_runs/iters_fmg_pcg.log 2>&1
+echo "iters fmg+pcg exit=$?"
+echo "=== bench.py bf16 direction storage ==="
+BENCH_DIRECTION_DTYPE=bfloat16 timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_bf16dir.log 2>&1
+echo "bench bf16dir exit=$?"
