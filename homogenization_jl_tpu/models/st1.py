@@ -129,7 +129,9 @@ def st1_multigrid(
             b, coeff, setup, lam_max=lam_max, iters=max_cycles, tol=tol
         )
     else:
-        history = []
+        # history[0] = the initial residual norm, exactly like pcg's, so a
+        # given ``tol`` means the same stopping point for both methods
+        history = [float(solver.initial_residual_norm(b, coeff))]
         for _ in range(max_cycles):
             x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
             history.append(float(solver.residual_norm(r)))

@@ -132,11 +132,14 @@ def detect_structured(base) -> tuple | None:
     return n, ept, order
 
 
-def build_structured_combine(plan, k: int) -> StructuredCombine | None:
+def build_structured_combine(
+    plan, k: int, det: "tuple | None" = None
+) -> "StructuredCombine | None":
     """Derive the shift rules for level ``k`` from the general gather
     tables, or None when the base is not a structured box."""
     base = plan.base
-    det = detect_structured(base)
+    if det is None:
+        det = detect_structured(base)
     if det is None or plan.reference.layout is None:
         return None
     n, ept, order = det
@@ -316,21 +319,24 @@ _SMALL_CACHE: dict = {}
 
 
 def build_structured_combine_auto(
-    plan, k: int, threshold: int = 16
+    plan, k: int, threshold: int = 16, det: "tuple | None" = None
 ) -> "StructuredCombine | None":
     """Direct orbit derivation for small bases, rescaled small-box
     derivation (O(1) in base size) at n >= ``threshold`` where the direct
-    census over all groups starts to dominate plan setup."""
-    det = detect_structured(plan.base)
+    census over all groups starts to dominate plan setup. ``det`` feeds a
+    precomputed detect_structured result through (the detection is an O(E)
+    centroid pass — callers building every level pass it once)."""
+    if det is None:
+        det = detect_structured(plan.base)
     if det is None or plan.reference.layout is None:
         return None
     if det[0] >= threshold:
-        return build_structured_combine_scaled(plan, k)
-    return build_structured_combine(plan, k)
+        return build_structured_combine_scaled(plan, k, det=det)
+    return build_structured_combine(plan, k, det=det)
 
 
 def build_structured_combine_scaled(
-    plan, k: int, n_small: tuple = (6, 7)
+    plan, k: int, n_small: tuple = (6, 7), det: "tuple | None" = None
 ) -> "StructuredCombine | None":
     """Like :func:`build_structured_combine` but O(1) in the base size: the
     orbit rules are translation invariant, so they are derived once on two
@@ -340,14 +346,15 @@ def build_structured_combine_scaled(
     small-box work plus an exact global count check and a 4096-group sampled
     owner-set validation against the plan's real gather tables.
     """
-    det = detect_structured(plan.base)
+    if det is None:
+        det = detect_structured(plan.base)
     if det is None or plan.reference.layout is None:
         return None
     n, ept, order = det
     n0, n1 = n_small
     assert n1 == n0 + 1
     if n <= n1:
-        return build_structured_combine(plan, k)
+        return build_structured_combine(plan, k, det=det)
     from ..mesh.grid import hypercube
     from .plan import build_grid_plan
 

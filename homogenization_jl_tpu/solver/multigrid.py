@@ -139,16 +139,20 @@ class MultigridSolver:
         # the gather form.
         self.structured = None
         if combine in ("auto", "structured"):
-            from ..ops.structured import build_structured_combine_auto
+            from ..ops.structured import (
+                build_structured_combine_auto,
+                detect_structured,
+            )
 
+            det = detect_structured(plan.base)  # one O(E) pass, all levels
             sc0 = (
-                build_structured_combine_auto(plan, 0)
-                if plan.reference.layout is not None
+                build_structured_combine_auto(plan, 0, det=det)
+                if det is not None and plan.reference.layout is not None
                 else None
             )
             if sc0 is not None:
                 self.structured = [sc0] + [
-                    build_structured_combine_auto(plan, k)
+                    build_structured_combine_auto(plan, k, det=det)
                     for k in range(1, self.nlevels)
                 ]
                 combine = "structured"
@@ -1170,37 +1174,52 @@ class MultigridSolver:
         )
         bb = apply_mask(b, self.levels[-1].first_copy_mask)
         b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
-        history = []
-        if method in ("fmg", "fmg+pcg"):
+        if x is None and method in ("vcycle", "pcg"):
+            x, _ = self.zero_states()
+        # history[0] = the TRUE initial relative residual — every stopping
+        # test below is history[-1] <= tol against this same normalization
+        # (||first-copy of constrain(combine(b - A x0))|| / ||first-copy b||)
+        history = [
+            float(self.initial_residual_norm(b, coeff, x=x)) / b_norm
+        ]
+        if verbose:
+            print(f"initial: rel residual {history[0]:.3e}", flush=True)
+        if method in ("fmg", "fmg+pcg") and history[-1] > tol:
             x, r = self.fmg(b, coeff, setup, lam_max=lam_max)
             history.append(float(self.residual_norm(r)) / b_norm)
             if verbose:
                 print(f"fmg: rel residual {history[-1]:.3e}", flush=True)
-        elif x is None:
-            x, _ = self.zero_states()
         if method in ("pcg", "fmg+pcg"):
-            if not (history and history[-1] <= tol):
-                tol_p = tol / history[-1] if history else tol
+            if history[-1] > tol:
+                # pcg stops relative to ITS OWN start residual, which in
+                # this normalization is history[-1]
                 x, hist_p = self.pcg(
                     b, coeff, setup, lam_max=lam_max, x=x,
-                    iters=max_cycles, tol=tol_p,
+                    iters=max_cycles, tol=tol / history[-1],
                 )
                 history.extend(h / b_norm for h in hist_p[1:])
                 if verbose:
                     print(f"pcg: rel residual {history[-1]:.3e} "
                           f"after {len(hist_p) - 1} iters", flush=True)
         else:
-            while len(history) < max_cycles and not (
-                history and history[-1] <= tol
-            ):
+            while len(history) - 1 < max_cycles and history[-1] > tol:
                 x, r = self.vcycle(x, b, coeff, setup, lam_max=lam_max)
                 history.append(float(self.residual_norm(r)) / b_norm)
                 if verbose:
                     print(
-                        f"cycle {len(history)}: rel residual {history[-1]:.3e}",
+                        f"cycle {len(history) - 1}: rel residual "
+                        f"{history[-1]:.3e}",
                         flush=True,
                     )
         return x, history
+
+    def initial_residual_norm(self, b, coeff, x=None, Ls=None):
+        """Exact first-copy norm of the constrained combined residual
+        b - A x (x=None means zero): the common normalization anchor for
+        solve()'s history and st1_multigrid's tolerance."""
+        top = self.nlevels - 1
+        r = b if x is None else b - self._apply_op(x, coeff, top, Ls)
+        return self.residual_norm(self._combine_constrained(r, top, Ls))
 
     # ------------------------------------------------------------------ #
     # full multigrid (F-cycle) initializer
@@ -1254,6 +1273,8 @@ class MultigridSolver:
                 "pass coarse_setup(sigma, lam) as chol"
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)
+        assert nu >= 1, "fmg needs at least one V-cycle per ascent level"
+        assert self.nlevels >= 2, "fmg needs a hierarchy"
         if self.smoother == "chebyshev":
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         # 0.0 placeholder keeps the (sharded) program signature uniform;

@@ -3,6 +3,7 @@
 # Pending hardware runs staged while the TPU tunnel was down (late round 3).
 # Each writes to /tmp/tpu_runs/*.log; results go to PERFORMANCE.md/ACCURACY.md.
 cd /root/repo
+mkdir -p /tmp/tpu_runs
 echo "=== combine variants microbench at bench scale ==="
 BC_LEVELS=5 timeout 5400 python -u scripts/bench_combine.py 32 > /tmp/tpu_runs/combine32.log 2>&1
 echo "combine exit=$?"
