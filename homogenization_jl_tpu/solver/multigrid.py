@@ -87,6 +87,7 @@ class MultigridSolver:
         constraint: str = "auto",
         smooth_precision=None,
         direction_dtype=None,
+        cycle: str = "V",
     ):
         self.plan = plan
         self.dtype = dtype
@@ -127,6 +128,11 @@ class MultigridSolver:
         self.direction_dtype = (
             jnp.dtype(direction_dtype) if direction_dtype is not None else None
         )
+        # cycle="W": recurse twice per level (gamma=2) — stronger coarse
+        # correction per cycle at ~2x sub-top cost (the reference has
+        # V-cycles only, src/multigrid.jl:73-119)
+        assert cycle in ("V", "W")
+        self.cycle = cycle
 
         ref_ops = build_level_operators(plan.reference, dtype=np.float64)
         np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -981,6 +987,10 @@ class MultigridSolver:
             if k - 1 > 0:
                 xs[k - 1] = jnp.zeros((E_loc, Ls[k - 1].stack.shape[1]), x.dtype)
             descend(k - 1)
+            if self.cycle == "W" and k - 1 > 0:
+                # second sub-cycle from the first's iterate (gamma = 2);
+                # trace size grows 2^depth — fine at practical level counts
+                descend(k - 1)
             x = prolong_add(x, xs[k - 1], Ls[k].P_up)
             if exact:
                 x, r_local = self._smooth_cg_exact(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
