@@ -606,6 +606,20 @@ class MultigridSolver:
         return float(lam) * 1.15  # safety margin (underestimating lam_max
         # lets the highest modes amplify and stalls the V-cycle)
 
+    def estimate_lambda_max_levels(self, coeff, iters: int = 30, seed: int = 0):
+        """Per-level lam_max array: anywhere a scalar ``lam_max`` is
+        accepted (vcycle/fmg/pcg/solve), an [nlevels] array makes each
+        level's Chebyshev smoother target its own D^{-1}A spectrum instead
+        of reusing the finest level's — a free contraction improvement when
+        the spectra differ (e.g. strong coefficient contrast)."""
+        return jnp.asarray(
+            [
+                self.estimate_lambda_max(coeff, k, iters=iters, seed=seed)
+                for k in range(self.nlevels)
+            ],
+            dtype=self.dtype,
+        )
+
     def _smooth_chebyshev(self, x, b, coeff, lam_max, *, k, steps, Ls=None):
         """Jacobi-preconditioned Chebyshev smoother: no dot products at all
         (no cross-chip reductions, and none of the CG smoother's
@@ -656,6 +670,11 @@ class MultigridSolver:
 
     def _smooth(self, x, b, coeff, *, k, steps, Ls=None, lam_max=None):
         if self.smoother == "chebyshev":
+            # scalar = finest-level estimate reused everywhere; an
+            # [nlevels] array (estimate_lambda_max_levels) is indexed per
+            # level — k is static, so this is free under jit
+            if lam_max is not None and jnp.ndim(lam_max) == 1:
+                lam_max = lam_max[k]
             return self._smooth_chebyshev(
                 x, b, coeff, lam_max, k=k, steps=steps, Ls=Ls
             )

@@ -89,3 +89,33 @@ def test_diagonal_matches_assembled(dim=2, n=3, levels=3):
     mapping = order[np.searchsorted(fk[order], key(allx))]
     err = np.abs(dg[mapping] - d.reshape(-1)).max()
     assert err < 1e-12
+
+
+def test_per_level_lam_max_array():
+    """vcycle/pcg accept an [nlevels] lam_max array
+    (estimate_lambda_max_levels): each level's Chebyshev smoother targets
+    its own spectrum; converges like the scalar form."""
+    import numpy as np
+    from homogenization_jl_tpu.fem.local_operators import load_vector
+    from homogenization_jl_tpu.mesh.grid import affine_maps
+
+    base = hypercube(2, 4)
+    plan = build_grid_plan(base, 3)
+    rng = np.random.default_rng(0)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 2))
+    s = MultigridSolver(plan, smoother="chebyshev")
+    coeff = s.coefficients(sigma, 0.0)
+    chol = s.coarse_cholesky(sigma, 0.0)
+    lm = s.estimate_lambda_max_levels(coeff)
+    assert lm.shape == (plan.nlevels,)
+    b_ref = load_vector(plan.reference.levels[2])
+    _, _, detJ, _ = affine_maps(base)
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :])
+    x, _ = s.zero_states()
+    hist = []
+    for _ in range(12):
+        x, r = s.vcycle(x, b, coeff, chol, lam_max=lm)
+        hist.append(float(s.residual_norm(r)))
+    assert hist[-1] < 1e-4 * hist[0], hist
+    _, hp = s.pcg(b, coeff, chol, lam_max=lm, iters=20, tol=1e-10)
+    assert hp[-1] <= 1e-10 * hp[0]
