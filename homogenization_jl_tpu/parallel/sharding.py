@@ -404,6 +404,8 @@ class ShardedMultigridSolver:
 
     def _smooth(self, x, b, coeff, L, k, valid, steps, lam_max=None):
         if self.smoother == "chebyshev":
+            if lam_max is not None and jnp.ndim(lam_max) == 1:
+                lam_max = lam_max[k]  # per-level estimates (k is static)
             return self._smooth_chebyshev(x, b, coeff, L, k, valid, steps, lam_max)
         return self._smooth_cg(x, b, coeff, L, k, valid, steps)
 
@@ -630,52 +632,62 @@ class ShardedMultigridSolver:
     def _level_statics(self, k):
         return dict(n_cross_groups=self.levels[k]["n_cross_groups"])
 
-    def _make_vcycle(self):
+    def _coarse_dispatch(self, b0, coeff, chol, L0, elements, valid):
+        if self.coarse_kind == "chol":
+            return self._coarse_chol(b0, chol, elements)
+        if self.coarse_kind == "inv":
+            return self._coarse_inv(b0, chol, elements)
+        if self.coarse_kind == "mg":
+            return self._coarse_mg(b0, coeff, chol, L0, elements, valid)
+        return self._coarse_cg(b0, coeff, L0, valid)
+
+    def _cycle_body(
+        self, x_top, b_top, coeff, chol, elements, valid, lam_max, Ls,
+        top=None,
+    ):
+        """One V-cycle on shard-local arrays (valid inside shard_map);
+        ``top`` starts at a sub-finest level (the FMG ascent)."""
         from ..ops.transfer import prolong_add, restrict
 
-        top = self.nlevels - 1
+        top = self.nlevels - 1 if top is None else top
+        xs = [None] * self.nlevels
+        bs = [None] * self.nlevels
+        xs[top], bs[top] = x_top, b_top
+        B = x_top.shape[0]
+
+        def descend(k):
+            if k == 0:
+                xs[0] = self._coarse_dispatch(
+                    bs[0], coeff, chol, Ls[0], elements, valid
+                )
+                return None
+            steps = (
+                self.smoothing_steps if k == top else self.coarse_smoothing_steps
+            )
+            x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], k, valid, steps, lam_max)
+            r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
+                "boundary_mask"
+            ]
+            bs[k - 1] = restrict(r_local, Ls[k]["P_up"])
+            if k - 1 > 0:
+                xs[k - 1] = jnp.zeros((B, self.plan.n_local(k - 1)), x_top.dtype)
+            descend(k - 1)
+            x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
+            x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps, lam_max)
+            xs[k] = x
+            return r
+
+        r_fine = descend(top)
+        return xs[top], r_fine
+
+    def _make_vcycle(self):
         statics = [self._level_statics(k) for k in range(self.nlevels)]
 
         def body(x_top, b_top, coeff, chol, elements, valid, lam_max, *level_arrays):
             Ls = [dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)]
-            xs = [None] * self.nlevels
-            bs = [None] * self.nlevels
-            xs[top], bs[top] = x_top, b_top
-            B = x_top.shape[0]
-
-            def descend(k):
-                if k == 0:
-                    if self.coarse_kind == "chol":
-                        xs[0] = self._coarse_chol(bs[0], chol, elements)
-                    elif self.coarse_kind == "inv":
-                        xs[0] = self._coarse_inv(bs[0], chol, elements)
-                    elif self.coarse_kind == "mg":
-                        xs[0] = self._coarse_mg(
-                            bs[0], coeff, chol, Ls[0], elements, valid
-                        )
-                    else:
-                        xs[0] = self._coarse_cg(bs[0], coeff, Ls[0], valid)
-                    return None
-                steps = (
-                    self.smoothing_steps if k == top else self.coarse_smoothing_steps
-                )
-                x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], k, valid, steps, lam_max)
-                r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
-                    "boundary_mask"
-                ]
-                bs[k - 1] = restrict(r_local, Ls[k]["P_up"])
-                if k - 1 > 0:
-                    xs[k - 1] = jnp.zeros(
-                        (B, self.plan.n_local(k - 1)), x_top.dtype
-                    )
-                descend(k - 1)
-                x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
-                x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps, lam_max)
-                xs[k] = x
-                return r
-
-            r_fine = descend(top)
-            return xs[top], r_fine
+            return self._cycle_body(
+                x_top, b_top, coeff, chol, elements, valid, lam_max, Ls
+            )
 
         state_spec = P(AXIS, None)
         in_specs = (
@@ -727,6 +739,169 @@ class ShardedMultigridSolver:
         else:
             lam_max = jnp.asarray(lam_max, dtype=self.dtype)
         return self._vcycle(x, b, coeff, chol, lam_max)
+
+    # -- pcg / fmg outer solves (same API as MultigridSolver) --------------- #
+    def _pcg_rnorm(self, r, L, k, valid):
+        rc = self._combine(r, L, k, valid) * L["boundary_mask"]
+        rc = rc * L["first_copy_mask"]
+        return jnp.sqrt(self._dot(rc, rc))
+
+    def _common_specs(self):
+        return (
+            P(AXIS, None),  # coeff
+            P(),  # chol / coarse setup
+            P(AXIS, None),  # elements
+            P(AXIS),  # valid
+            P(),  # lam_max
+            *[self._level_specs(k) for k in range(self.nlevels)],
+        )
+
+    def _common_args(self, coeff, chol, lam_max):
+        return (
+            coeff, chol, self.base_elements, self.valid_mask, lam_max,
+            *[self._level_args(k) for k in range(self.nlevels)],
+        )
+
+    def _make_pcg_programs(self):
+        top = self.nlevels - 1
+        statics = [self._level_statics(k) for k in range(self.nlevels)]
+        state = P(AXIS, None)
+        common = self._common_specs()
+        safe = MultigridSolver._safe_div
+
+        def mk_Ls(level_arrays):
+            return [
+                dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)
+            ]
+
+        def init(x, b, coeff, chol, elements, valid, lam_max, *level_arrays):
+            Ls = mk_Ls(level_arrays)
+            L = Ls[top]
+            r = (b - self._apply_op(x, coeff, L)) * L["boundary_mask"]
+            z, _ = self._cycle_body(
+                jnp.zeros_like(x), r, coeff, chol, elements, valid, lam_max, Ls
+            )
+            return x, r, z, self._dot(z, r), self._pcg_rnorm(r, L, top, valid)
+
+        def mk_step(fl):
+            def step(x, r, p, rz, coeff, chol, elements, valid, lam_max, *level_arrays):
+                Ls = mk_Ls(level_arrays)
+                L = Ls[top]
+                Ap = self._apply_op(p, coeff, L) * L["boundary_mask"]
+                alpha = safe(rz, self._dot(p, Ap))
+                x = x + alpha * p
+                r_new = r - alpha * Ap
+                z, _ = self._cycle_body(
+                    jnp.zeros_like(x), r_new, coeff, chol, elements, valid,
+                    lam_max, Ls,
+                )
+                rz_new = self._dot(z, r_new)
+                num = rz_new - self._dot(z, r) if fl else rz_new
+                p = z + safe(num, rz) * p
+                return x, r_new, p, rz_new, self._pcg_rnorm(r_new, L, top, valid)
+
+            return step
+
+        init_sm = jax.shard_map(
+            init, mesh=self.mesh, in_specs=(state, state) + common,
+            out_specs=(state, state, state, P(), P()), check_vma=False,
+        )
+        steps = {}
+        for fl in (False, True):
+            sm = jax.shard_map(
+                mk_step(fl), mesh=self.mesh,
+                in_specs=(state, state, state, P()) + common,
+                out_specs=(state, state, state, P(), P()), check_vma=False,
+            )
+            steps[fl] = jax.jit(sm, donate_argnums=(0, 1, 2))
+        return jax.jit(init_sm), steps
+
+    def pcg(
+        self, b, coeff, chol=None, lam_max=None, x=None, *, iters: int = 50,
+        tol: float = 0.0, flexible: bool | None = None,
+    ):
+        """V-cycle-preconditioned (flexible) CG, sharded — see
+        MultigridSolver.pcg for the math and the chebyshev requirement."""
+        assert self.smoother == "chebyshev", (
+            "pcg needs a linear SPD preconditioner: construct the solver "
+            "with smoother='chebyshev'"
+        )
+        assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
+        if chol is None:
+            assert self.coarse_kind not in ("chol", "inv", "mg")
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        if flexible is None:
+            flexible = self.coarse_kind not in ("chol", "inv")
+        if not hasattr(self, "_pcg_cache"):
+            self._pcg_cache = self._make_pcg_programs()
+        init_jit, steps = self._pcg_cache
+        lam_max = jnp.asarray(lam_max, self.dtype)
+        if x is None:
+            x, _ = self.zero_states()
+        tail = self._common_args(coeff, chol, lam_max)
+        x, r, p, rz, rn = init_jit(x, b, *tail)
+        history = [float(rn)]
+        step = steps[bool(flexible)]
+        for _ in range(iters):
+            x, r, p, rz, rn = step(x, r, p, rz, *tail)
+            history.append(float(rn))
+            if tol and history[-1] <= tol * history[0]:
+                break
+        return x, history
+
+    def _make_fmg(self, nu: int):
+        from ..ops.transfer import prolong_add, restrict
+
+        top = self.nlevels - 1
+        statics = [self._level_statics(k) for k in range(self.nlevels)]
+        state = P(AXIS, None)
+
+        def body(b, coeff, chol, elements, valid, lam_max, *level_arrays):
+            Ls = [
+                dict(**level_arrays[k], **statics[k]) for k in range(self.nlevels)
+            ]
+            bs = [None] * self.nlevels
+            bs[top] = b
+            for k in range(top, 0, -1):
+                bs[k - 1] = restrict(
+                    bs[k] * Ls[k]["boundary_mask"], Ls[k]["P_up"]
+                )
+            x = self._coarse_dispatch(bs[0], coeff, chol, Ls[0], elements, valid)
+            B = b.shape[0]
+            r = None
+            for k in range(1, top + 1):
+                x = prolong_add(
+                    jnp.zeros((B, self.plan.n_local(k)), b.dtype), x,
+                    Ls[k]["P_up"],
+                )
+                for _ in range(nu):
+                    x, r = self._cycle_body(
+                        x, bs[k], coeff, chol, elements, valid, lam_max, Ls,
+                        top=k,
+                    )
+            return x, r
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh, in_specs=(state,) + self._common_specs(),
+            out_specs=(state, state), check_vma=False,
+        )
+        return jax.jit(sm)
+
+    def fmg(self, b, coeff, chol=None, lam_max=None, nu: int = 1):
+        """Full-multigrid (F-cycle) start, sharded — see MultigridSolver.fmg."""
+        nu = int(nu)
+        assert nu >= 1 and self.nlevels >= 2
+        if chol is None:
+            assert self.coarse_kind not in ("chol", "inv", "mg")
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        if self.smoother == "chebyshev":
+            assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
+        lam_max = jnp.asarray(0.0 if lam_max is None else lam_max, self.dtype)
+        if not hasattr(self, "_fmg_cache"):
+            self._fmg_cache = {}
+        if nu not in self._fmg_cache:
+            self._fmg_cache[nu] = self._make_fmg(nu)
+        return self._fmg_cache[nu](b, *self._common_args(coeff, chol, lam_max))
 
     def estimate_lambda_max(self, coeff, iters: int = 30, seed: int = 0):
         """Sharded power iteration for lambda_max(D^{-1} A) at the finest

@@ -178,3 +178,53 @@ def test_cross_group_tables_cover_all_cross_interface_dofs():
         tabs = build_sharded_tables(plan, k, S, E_pad)
         n_cross_slots = int((tabs.cross_group < tabs.n_cross_groups - 1).sum())
         assert n_cross_slots == n_cross_slots_expected, k
+
+
+def test_sharded_pcg_matches_single_device():
+    """General-mesh sharded pcg == single-device pcg (history + solution)."""
+    plan, sigma, b_np = _setup(2, 4, 3)
+    kw = dict(dtype=jnp.float64, coarse="chol", smoother="chebyshev")
+
+    ref = MultigridSolver(plan, **kw)
+    coeff = ref.coefficients(sigma, 0.0)
+    chol = ref.coarse_cholesky(sigma, 0.0)
+    lam = ref.estimate_lambda_max(coeff)
+    x1, h1 = ref.pcg(jnp.asarray(b_np), coeff, chol, lam_max=lam, iters=6)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    sh = ShardedMultigridSolver(plan, mesh, **kw)
+    coeff_s = sh.coefficients(sigma, 0.0)
+    chol_s = sh.coarse_cholesky(sigma, 0.0)
+    lam_s = sh.estimate_lambda_max(coeff_s)
+    assert abs(lam_s - lam) < 1e-9 * abs(lam)
+    x_s, h_s = sh.pcg(sh.put(b_np), coeff_s, chol_s, lam_max=lam_s, iters=6)
+
+    assert len(h1) == len(h_s)
+    for a, b in zip(h1, h_s):
+        assert abs(a - b) < 1e-9 * max(abs(a), 1e-300), (a, b)
+    E = plan.base.nelements
+    err = np.abs(np.asarray(x_s)[:E] - np.asarray(x1)).max()
+    assert err < 1e-9 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
+
+
+def test_sharded_fmg_matches_single_device():
+    plan, sigma, b_np = _setup(2, 4, 3)
+    kw = dict(dtype=jnp.float64, coarse="chol")
+
+    ref = MultigridSolver(plan, **kw)
+    coeff = ref.coefficients(sigma, 0.0)
+    chol = ref.coarse_cholesky(sigma, 0.0)
+    x1, r1 = ref.fmg(jnp.asarray(b_np), coeff, chol)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    sh = ShardedMultigridSolver(plan, mesh, **kw)
+    coeff_s = sh.coefficients(sigma, 0.0)
+    chol_s = sh.coarse_cholesky(sigma, 0.0)
+    x_s, r_s = sh.fmg(sh.put(b_np), coeff_s, chol_s)
+
+    E = plan.base.nelements
+    err = np.abs(np.asarray(x_s)[:E] - np.asarray(x1)).max()
+    assert err < 1e-9 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
+    a = float(ref.residual_norm(r1))
+    b = float(sh.residual_norm(r_s))
+    assert abs(a - b) < 1e-9 * max(a, 1e-300)
