@@ -26,9 +26,10 @@ def _unit_local_matrices(dim: int, dtype=np.float64):
 def assemble_operator(
     mesh: Mesh, sigma_el: np.ndarray, lam: float = 0.0, dtype=np.float64
 ) -> sp.csr_matrix:
-    """Assemble B[u,v] = int lam*u*v + (diag(sigma) grad u) . grad v.
+    """Assemble B[u,v] = int lam*u*v + (sigma grad u) . grad v.
 
-    ``sigma_el``: [Ne, d] per-element diagonal conductivity (or [Ne] scalar).
+    ``sigma_el``: [Ne, d] per-element diagonal conductivity, [Ne] scalar, or
+    [Ne, d, d] full symmetric tensor per element.
     """
     d = mesh.dim
     N = d + 1
@@ -37,7 +38,10 @@ def assemble_operator(
     sigma_el = np.asarray(sigma_el, dtype=dtype)
     if sigma_el.ndim == 1:
         sigma_el = np.repeat(sigma_el[:, None], d, axis=1)
-    C = np.einsum("ekm,em,elm->ekl", Jinv, sigma_el, Jinv)  # [Ne, d, d]
+    if sigma_el.ndim == 3:
+        C = np.einsum("ekm,emn,eln->ekl", Jinv, sigma_el, Jinv)  # [Ne, d, d]
+    else:
+        C = np.einsum("ekm,em,elm->ekl", Jinv, sigma_el, Jinv)  # [Ne, d, d]
     A_loc = np.einsum("e,ekl,klij->eij", detJ, C, Ahat)
     if lam != 0.0:
         A_loc = A_loc + lam * detJ[:, None, None] * Mhat[None]

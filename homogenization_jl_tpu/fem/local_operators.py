@@ -155,17 +155,30 @@ def element_coefficients(
     """Per-base-element coefficients for the stacked apply: [E, P].
 
     coeff[e, p<last] = detJ_e * C_e[k_p, l_p],  coeff[e, last] = lam * detJ_e
-    with C_e = J_e^{-1} diag(sigma_e) J_e^{-T}.
+    with C_e = J_e^{-1} Sigma_e J_e^{-T}.
     (Reference computes the same quantity per element inside the hot loop,
     src/apply_local_operators.jl:98-118; here it is precomputed once.)
+
+    ``sigma_el``: [E] isotropic scalar, [E, d] per-axis diagonal (the
+    reference's SVector form), or [E, d, d] full SYMMETRIC tensor per element
+    (beyond the reference — the symmetric fold of the stacked apply requires
+    Sigma_e = Sigma_e^T, asserted here).
     """
     d = base.dim
     _, _, detJ, Jinv = affine_maps(base)
     sigma_el = np.asarray(sigma_el, dtype=dtype)
     if sigma_el.ndim == 1:  # isotropic scalar per element
         sigma_el = np.repeat(sigma_el[:, None], d, axis=1)
-    # C = Jinv diag(sigma) Jinv^T
-    C = np.einsum("ekm,em,elm->ekl", Jinv, sigma_el, Jinv)
+    if sigma_el.ndim == 3:  # full tensor per element
+        assert sigma_el.shape[1:] == (d, d)
+        assert np.allclose(sigma_el, np.swapaxes(sigma_el, 1, 2)), (
+            "tensor conductivity must be symmetric (the stacked apply folds "
+            "C across the diagonal)"
+        )
+        C = np.einsum("ekm,emn,eln->ekl", Jinv, sigma_el, Jinv)
+    else:
+        # C = Jinv diag(sigma) Jinv^T
+        C = np.einsum("ekm,em,elm->ekl", Jinv, sigma_el, Jinv)
     cols = [detJ * C[:, k, l] for (k, l) in _sym_pairs(d)]
     cols.append(lam * detJ)
     return np.stack(cols, axis=1).astype(dtype)

@@ -88,6 +88,50 @@ def test_matrix_free_matches_assembled(dim, n, levels, aniso):
     assert err <= 1e-12 * max(scale, 1.0), f"max err {err} (scale {scale})"
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_matrix_free_matches_assembled_tensor_sigma(dim):
+    """Full-tensor (symmetric anisotropic) conductivity: matrix-free apply
+    == explicit assembly (beyond the reference, whose sigma is diagonal)."""
+    rng = np.random.default_rng(7)
+    n, levels = 2, 3
+    base = hypercube(dim, n)
+    plan = build_grid_plan(base, levels)
+    fine = refine_uniformly(base, times=levels - 1)
+
+    # random SPD tensor per element: Q diag(w) Q^T with rotations Q
+    W = rng.standard_normal((base.nelements, dim, dim))
+    sigma = np.einsum("eki,elj,ekl->eij", W, W, np.eye(dim)[None]) + 0.5 * np.eye(dim)[None]
+    lam = 0.3
+
+    solver = MultigridSolver(plan, dtype=jnp.float64, coarse="cg")
+    coeff = solver.coefficients(sigma, lam)
+    k = levels - 1
+    L = solver.levels[k]
+
+    ct = plan.levels[k].combine
+    slot_flat = jnp.asarray(ct.flat(plan.n_local(k)))
+    slot_group = jnp.asarray(ct.slot_group)
+    x = jnp.asarray(rng.standard_normal((base.nelements, plan.n_local(k))))
+    x = combine_interfaces(x, slot_flat, slot_group, ct.n_groups)
+
+    y = element_apply(x, coeff, L.stack)
+    y = combine_interfaces(y, slot_flat, slot_group, ct.n_groups)
+
+    mapping = _coordinate_mapping(plan, k, fine)
+    children = fine.nelements // base.nelements
+    sigma_fine = np.repeat(sigma, children, axis=0)
+    A = assemble_operator(fine, sigma_fine, lam)
+
+    x_np = np.asarray(x).reshape(-1)
+    total_x = np.zeros(fine.nnodes)
+    total_x[mapping] = x_np
+    total_y = A @ total_x
+
+    err = np.abs(total_y[mapping] - np.asarray(y).reshape(-1)).max()
+    scale = np.abs(total_y).max()
+    assert err <= 1e-12 * max(scale, 1.0), f"max err {err} (scale {scale})"
+
+
 def test_assembled_laplace_sanity():
     """Row sums of a stiffness matrix vanish (constants in the kernel)."""
     m = refine_uniformly(hypercube(2, 2), times=2)
