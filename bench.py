@@ -88,6 +88,9 @@ def main():
         smooth_precision=smooth_precision,
         # e.g. "bfloat16": smoother direction vectors stored half-width
         direction_dtype=os.environ.get("BENCH_DIRECTION_DTYPE") or None,
+        # 2-step smoothing trades contraction for cheaper cycles; the
+        # cycles-to-tol tradeoff is measured by scripts/iters_to_tol.py
+        smoothing_steps=int(os.environ.get("BENCH_SMOOTH_STEPS", 3)),
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
                 # 5e-2 keeps the 12-cycle contraction unchanged vs 1e-6 (round 3;

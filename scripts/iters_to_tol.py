@@ -66,6 +66,7 @@ solver = MultigridSolver(
     smooth_precision=os.environ.get("BENCH_SMOOTH_PRECISION", "high"),
     direction_dtype=os.environ.get("BENCH_DIRECTION_DTYPE") or None,
     coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 5e-2)),
+    smoothing_steps=int(os.environ.get("BENCH_SMOOTH_STEPS", 3)),
 )
 coeff = solver.coefficients(sigma, 0.0)
 chol = solver.coarse_setup(sigma, 0.0)
