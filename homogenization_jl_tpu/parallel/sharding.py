@@ -959,3 +959,93 @@ class ShardedMultigridSolver:
         k = self.nlevels - 1 if k is None else k
         rr = r * self.levels[k]["first_copy_mask"]
         return jnp.sqrt(jnp.vdot(rr, rr))
+
+    def initial_residual_norm(self, b, coeff, x=None):
+        """First-copy norm of the constrained combined residual b - A x
+        (x=None means zero) — solve()'s normalization anchor, sharded
+        (mirrors MultigridSolver.initial_residual_norm)."""
+        k = self.nlevels - 1
+        if not hasattr(self, "_resid_fn"):
+            statics = self._level_statics(k)
+
+            def body(x, b, coeff, valid, *level_arrays):
+                L = dict(**level_arrays[0], **statics)
+                r = b - self._apply_op(x, coeff, L)
+                rc = self._combine(r, L, k, valid) * L["boundary_mask"]
+                rc = rc * L["first_copy_mask"]
+                return jax.lax.psum(jnp.vdot(rc, rc), AXIS)
+
+            smapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(
+                    P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
+                    self._level_specs(k),
+                ),
+                out_specs=P(),
+                check_vma=False,
+            )
+            self._resid_fn = jax.jit(
+                lambda x, b, coeff: smapped(
+                    x, b, coeff, self.valid_mask, self._level_args(k)
+                )
+            )
+        if x is None:
+            x = jnp.zeros_like(b)
+        return jnp.sqrt(self._resid_fn(x, b, coeff))
+
+    def solve(
+        self, b, sigma_el, lam: float = 0.0, *, tol: float = 1e-8,
+        max_cycles: int = 100, method: str = "auto", x=None,
+        verbose: bool = False,
+    ):
+        """One-call tolerance-driven solve, sharded — same semantics and
+        normalization as MultigridSolver.solve (the slab solver inherits
+        that one; this is the general-mesh counterpart)."""
+        if method == "auto":
+            method = "fmg+pcg" if self.smoother == "chebyshev" else "fmg"
+        coeff = self.coefficients(sigma_el, lam)
+        setup = self.coarse_setup(sigma_el, lam)
+        lam_max = (
+            self.estimate_lambda_max(coeff)
+            if self.smoother == "chebyshev"
+            else None
+        )
+        bb = b * self.levels[-1]["first_copy_mask"]
+        b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
+        if x is None and method in ("vcycle", "pcg"):
+            x, _ = self.zero_states()
+        history = [
+            float(self.initial_residual_norm(b, coeff, x=x)) / b_norm
+        ]
+        if verbose:
+            print(f"initial: rel residual {history[0]:.3e}", flush=True)
+        if method in ("fmg", "fmg+pcg") and history[-1] > tol:
+            x, r = self.fmg(b, coeff, setup, lam_max=lam_max)
+            history.append(float(self.residual_norm(r)) / b_norm)
+            if verbose:
+                print(f"fmg: rel residual {history[-1]:.3e}", flush=True)
+        if method in ("pcg", "fmg+pcg"):
+            if history[-1] > tol:
+                x, hist_p = self.pcg(
+                    b, coeff, setup, lam_max=lam_max, x=x,
+                    iters=max_cycles, tol=tol / history[-1],
+                )
+                history.extend(h / b_norm for h in hist_p[1:])
+                if verbose:
+                    print(
+                        f"pcg: rel residual {history[-1]:.3e} "
+                        f"after {len(hist_p) - 1} iters",
+                        flush=True,
+                    )
+        else:
+            while len(history) - 1 < max_cycles and history[-1] > tol:
+                x, r = self.vcycle(x, b, coeff, setup, lam_max=lam_max)
+                history.append(float(self.residual_norm(r)) / b_norm)
+                if verbose:
+                    print(
+                        f"cycle {len(history) - 1}: rel residual "
+                        f"{history[-1]:.3e}",
+                        flush=True,
+                    )
+        return x, history

@@ -30,8 +30,6 @@ echo "iters fmg+pcg exit=$?"
 echo "=== bench.py bf16 direction storage ==="
 BENCH_DIRECTION_DTYPE=bfloat16 timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_bf16dir.log 2>&1
 echo "bench bf16dir exit=$?"
-echo "=== 2-step smoothing A/B (cheaper cycles vs contraction) ==="
-BENCH_SMOOTH_STEPS=2 timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_s2.log 2>&1
-echo "bench s2 exit=$?"
-BENCH_SMOOTH_STEPS=2 timeout 3600 python -u scripts/iters_to_tol.py 32 5 40 > /tmp/tpu_runs/iters_s2.log 2>&1
-echo "iters s2 exit=$?"
+# (2-step smoothing A/B dropped: CPU cycles-to-tol measurement settled it —
+#  21 vs 12 cycles to 1e-3 at n=8, a net ~1.2x loss even at 0.7x cycle cost;
+#  PERFORMANCE.md "Smoothing-step count".)

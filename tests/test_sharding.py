@@ -228,3 +228,30 @@ def test_sharded_fmg_matches_single_device():
     a = float(ref.residual_norm(r1))
     b = float(sh.residual_norm(r_s))
     assert abs(a - b) < 1e-9 * max(a, 1e-300)
+
+
+@pytest.mark.parametrize("smoother,method", [("cg", "fmg"), ("chebyshev", "auto")])
+def test_sharded_solve_matches_single_device(smoother, method):
+    """General-mesh sharded one-call solve() == single-device solve():
+    same history (same normalization anchor) and solution."""
+    plan, sigma, b_np = _setup(2, 4, 3)
+    kw = dict(dtype=jnp.float64, coarse="chol", smoother=smoother)
+
+    ref = MultigridSolver(plan, **kw)
+    x1, h1 = ref.solve(
+        jnp.asarray(b_np), sigma, 0.0, tol=1e-6, max_cycles=20, method=method
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    sh = ShardedMultigridSolver(plan, mesh, **kw)
+    x_s, h_s = sh.solve(
+        sh.put(b_np), sigma, 0.0, tol=1e-6, max_cycles=20, method=method
+    )
+
+    assert h_s[-1] <= 1e-6
+    assert len(h1) == len(h_s)
+    for a, b in zip(h1, h_s):
+        assert abs(a - b) < 1e-8 * max(abs(a), 1e-300), (a, b)
+    E = plan.base.nelements
+    err = np.abs(np.asarray(x_s)[:E] - np.asarray(x1)).max()
+    assert err < 1e-8 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
