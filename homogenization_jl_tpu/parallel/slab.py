@@ -387,6 +387,38 @@ class SlabShardedMultigridSolver(MultigridSolver):
         return jax.jit(sm)
 
     # -- public state helpers ----------------------------------------------- #
+    def initial_residual_norm(self, b, coeff, x=None, Ls=None):
+        """shard_map-wrapped form of MultigridSolver.initial_residual_norm:
+        the slab's combine/constrain primitives are only valid inside
+        shard_map, so the inherited eager form cannot run here — this
+        override is what makes the inherited one-call solve() work on the
+        slab solver."""
+        top = self.nlevels - 1
+        key = "init_resid"
+        if key not in self._combine_sm:
+
+            def body(x, b, coeff, Ls):
+                r = b - self._apply_op(x, coeff, top, Ls)
+                rc = self._combine_constrained(r, top, Ls)
+                rr = rc * Ls[top].first_copy_mask
+                return jnp.sqrt(self._vdot(rr, rr))
+
+            self._combine_sm[key] = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                        self._ls_specs(),
+                    ),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
+        if x is None:
+            x = jnp.zeros_like(b)
+        return self._combine_sm[key](x, b, coeff, tuple(self.levels))
+
     def put(self, a, spec=None):
         """Place a global element-leading array with the slab sharding."""
         a = jnp.asarray(np.asarray(a, dtype=self._np_dtype))

@@ -212,3 +212,28 @@ def test_slab_fmg_matches_single_device():
     xz, _ = ref.zero_states()
     _, r1 = ref.vcycle(xz, jnp.asarray(b_np), coeff, chol)
     assert a < float(ref.residual_norm(r1))
+
+
+def test_slab_solve_matches_single_device():
+    """Inherited one-call solve() on the slab solver (needs the shard_map-
+    wrapped initial_residual_norm override): same history and solution as
+    the single-device solve()."""
+    plan, sigma, b_np = _setup(3, 4, 3)
+    kw = dict(dtype=jnp.float64, coarse="chol", smoother="chebyshev")
+
+    ref = MultigridSolver(plan, **kw)
+    x1, h1 = ref.solve(
+        jnp.asarray(b_np), sigma, 0.0, tol=1e-8, max_cycles=20, method="auto"
+    )
+
+    slab = SlabShardedMultigridSolver(plan, _mesh(4), **kw)
+    x_s, h_s = slab.solve(
+        slab.put(b_np), sigma, 0.0, tol=1e-8, max_cycles=20, method="auto"
+    )
+
+    assert h_s[-1] <= 1e-8
+    assert len(h1) == len(h_s)
+    for a, b in zip(h1, h_s):
+        assert abs(a - b) < 1e-8 * max(abs(a), 1e-300), (a, b)
+    err = np.abs(np.asarray(x_s) - np.asarray(x1)).max()
+    assert err < 1e-8 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
