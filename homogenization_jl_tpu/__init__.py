@@ -23,6 +23,25 @@ from .mesh.reference import refined_reference
 from .ops.plan import build_grid_plan
 from .solver.multigrid import MultigridSolver
 
+# Lazy top-level exports (PEP 562): the heavier user-facing entry points
+# resolve on first use so `import homogenization_jl_tpu` stays light.
+_LAZY = {
+    "checkerboard_homogenization": ".models.checkerboard",
+    "ShardedMultigridSolver": ".parallel.sharding",
+    "SlabShardedMultigridSolver": ".parallel.slab",
+    "st1_multigrid": ".models.st1",
+    "multishift_cg": ".solver.cg",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name], __name__), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "Mesh",
     "hypercube",
@@ -31,6 +50,7 @@ __all__ = [
     "refined_reference",
     "build_grid_plan",
     "MultigridSolver",
+    *sorted(_LAZY),
 ]
 
 __version__ = "0.1.0"
