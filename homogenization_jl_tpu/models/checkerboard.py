@@ -260,6 +260,7 @@ def checkerboard_homogenization(
     geometry: str = "ordered",
     lattice_order: str | None = None,
     solver_opts: dict | None = None,
+    inner: str = "vcycle",
 ):
     """Estimate the correction sigma for one sampled domain.
 
@@ -288,6 +289,11 @@ def checkerboard_homogenization(
     mask): every step runs the structured slice-add combine, shapes stay
     static, and sharding uses the slab solver. Same sigma up to the solve
     tolerance (the k=0/k=1 direct-solve oracles hold for both).
+    ``inner``: "vcycle" (reference behavior: plain V-cycles until the
+    sigma increment stabilizes) or "pcg" (V-cycle-preconditioned CG steps
+    under the same stopping rule — ~2x fewer iterations to the same
+    tolerance, PERFORMANCE.md "Outer-solve modes"; requires
+    smoother="chebyshev"). Same sigma up to the stopping tolerance.
     """
     if solver == "multishift":
         from .multishift import homogenization_multishift
@@ -301,6 +307,13 @@ def checkerboard_homogenization(
             cond_field=cond_field,
             seed=seed,
         )
+    if inner == "pcg":
+        assert smoother == "chebyshev", (
+            "inner='pcg' needs a linear SPD preconditioner: pass "
+            "smoother='chebyshev'"
+        )
+    else:
+        assert inner == "vcycle", inner
     if geometry == "lattice":
         return _checkerboard_lattice(
             n, dim=dim, refinements=refinements,
@@ -312,6 +325,7 @@ def checkerboard_homogenization(
             checkpoint_dir=checkpoint_dir, resume_from=resume_from,
             device_mesh=device_mesh, smoother=smoother, shrink=shrink,
             lattice_order=lattice_order, solver_opts=solver_opts,
+            inner=inner,
         )
     assert geometry == "ordered", geometry
     lam = 1.0
@@ -426,12 +440,21 @@ def checkerboard_homogenization(
             mask = to_dev((np.arange(base.nelements) < n_box).astype(np.float64))
             domain_area = float(area_fn(mask))
 
+            if inner == "pcg":
+                init_p, step_p = solver.pcg_stepper(coeff, setup, lam_max)
+                state_p = init_p(b, x=x)
             d_sigma = 0.0
             d_sigma_prev = 0.0
             cycles = 0
+            rn_last = None
             t_prev = time.perf_counter()
             for i in range(max_cycles):
-                x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
+                if inner == "pcg":
+                    state_p = step_p(state_p)
+                    x = state_p[0]
+                    rn_last = state_p[4]
+                else:
+                    x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
                 cycles += 1
                 if k == 0:
                     integral = float(first_fn(x, b, mask))
@@ -439,7 +462,9 @@ def checkerboard_homogenization(
                     integral = float(terms_fn(x, v_prev, mask))
                 d_sigma = 2.0**k * integral / domain_area
                 if verbose:
-                    rn = float(solver.residual_norm(r))
+                    rn = float(
+                        rn_last if inner == "pcg" else solver.residual_norm(r)
+                    )
                     t_now = time.perf_counter()
                     print(
                         f"  cycle {i + 1}: |r|={rn:.3e} sigma+ds={sigma + d_sigma:.10f} "
@@ -454,7 +479,9 @@ def checkerboard_homogenization(
             sigma += d_sigma
             trace.sigma_steps.append(sigma)
             trace.cycles_per_step.append(cycles)
-            trace.residuals.append(float(solver.residual_norm(r)))
+            trace.residuals.append(
+                float(rn_last if inner == "pcg" else solver.residual_norm(r))
+            )
 
             if save_level is not None:
                 from ..utils.vtk import export_solution
@@ -524,7 +551,7 @@ def _checkerboard_lattice(
     n, dim, refinements, smoothing_steps, tolerance, xi, cond_field, seed,
     dtype, coarse, coarse_dense_limit, max_cycles, verbose, return_trace,
     save_level, save_prefix, checkpoint_dir, resume_from, device_mesh,
-    smoother, shrink, lattice_order=None, solver_opts=None,
+    smoother, shrink, lattice_order=None, solver_opts=None, inner="vcycle",
 ):
     """Lattice-geometry recurrence: one full-box plan and ONE solver for the
     whole run; domain shrinking is pad-and-mask. Per outer step only the
@@ -712,14 +739,26 @@ def _checkerboard_lattice(
             mask = to_dev((cnorm <= box_radius).astype(np.float64))
             domain_area = float(area_fn(mask))
 
+            if inner == "pcg":
+                init_p, step_p = sol.pcg_stepper(
+                    coeff, setup, lam_max, Ls=Ls_k, interior=int_k
+                )
+                state_p = init_p(b, x=x)
             d_sigma = 0.0
             d_sigma_prev = 0.0
             cycles = 0
+            rn_last = None
             t_prev = time.perf_counter()
             for i in range(max_cycles):
-                x, r = sol.vcycle(
-                    x, b, coeff, setup, lam_max=lam_max, Ls=Ls_k, interior=int_k
-                )
+                if inner == "pcg":
+                    state_p = step_p(state_p)
+                    x = state_p[0]
+                    rn_last = state_p[4]
+                else:
+                    x, r = sol.vcycle(
+                        x, b, coeff, setup, lam_max=lam_max, Ls=Ls_k,
+                        interior=int_k,
+                    )
                 cycles += 1
                 if k == 0:
                     integral = float(first_fn(x, b, mask))
@@ -727,7 +766,9 @@ def _checkerboard_lattice(
                     integral = float(terms_fn(x, v_prev, mask))
                 d_sigma = 2.0**k * integral / domain_area
                 if verbose:
-                    rn = float(sol.residual_norm(r))
+                    rn = float(
+                        rn_last if inner == "pcg" else sol.residual_norm(r)
+                    )
                     t_now = time.perf_counter()
                     print(
                         f"  cycle {i + 1}: |r|={rn:.3e} "
@@ -743,7 +784,9 @@ def _checkerboard_lattice(
             sigma += d_sigma
             trace.sigma_steps.append(sigma)
             trace.cycles_per_step.append(cycles)
-            trace.residuals.append(float(sol.residual_norm(r)))
+            trace.residuals.append(
+                float(rn_last if inner == "pcg" else sol.residual_norm(r))
+            )
 
             if save_level is not None:
                 from ..utils.vtk import export_solution

@@ -849,6 +849,37 @@ class ShardedMultigridSolver:
                 break
         return x, history
 
+    def pcg_stepper(self, coeff, chol=None, lam_max=None, *, flexible=None):
+        """Stepwise pcg (see MultigridSolver.pcg_stepper): (init, step) with
+        state = (x, r, p, rz, rn) — what the homogenization driver's
+        inner="pcg" mode drives on the general-mesh sharded solver."""
+        assert self.smoother == "chebyshev", (
+            "pcg needs a linear SPD preconditioner (smoother='chebyshev')"
+        )
+        assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
+        if chol is None:
+            assert self.coarse_kind not in ("chol", "inv", "mg")
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        if flexible is None:
+            flexible = self.coarse_kind not in ("chol", "inv")
+        if not hasattr(self, "_pcg_cache"):
+            self._pcg_cache = self._make_pcg_programs()
+        init_jit, steps = self._pcg_cache
+        step_jit = steps[bool(flexible)]
+        lam_max = jnp.asarray(lam_max, self.dtype)
+        tail = self._common_args(coeff, chol, lam_max)
+
+        def init(b, x=None):
+            if x is None:
+                x, _ = self.zero_states()
+            return init_jit(x, b, *tail)
+
+        def step(state):
+            x, r, p, rz, _ = state
+            return step_jit(x, r, p, rz, *tail)
+
+        return init, step
+
     def _make_fmg(self, nu: int):
         from ..ops.transfer import prolong_add, restrict
 

@@ -1177,6 +1177,53 @@ class MultigridSolver:
                 break
         return x, history
 
+    def pcg_stepper(
+        self, coeff, chol=None, lam_max=None, *, flexible=None, Ls=None,
+        interior=None,
+    ):
+        """Stepwise access to the pcg iteration: returns ``(init, step)``
+        closures with ``init(b, x=None) -> state`` and
+        ``step(state) -> state``; ``state = (x, r, p, rz, rn)`` where
+        state[0] is the current iterate and state[4] the exact first-copy
+        residual norm. The packaged :meth:`pcg` loop doesn't expose the
+        iterates — the homogenization driver's ``inner="pcg"`` mode needs
+        them to evaluate the sigma-increment integral between iterations
+        (reference stopping rule, homogenized_coefficients.jl:269-290).
+        Also works on the slab-sharded solver (it overrides
+        ``_pcg_programs`` with shard_map forms of the same signatures)."""
+        if chol is None:
+            assert self.coarse_kind not in ("chol", "inv", "mg")
+            chol = jnp.zeros((0, 0), dtype=self.dtype)
+        assert self.smoother == "chebyshev", (
+            "pcg needs a linear SPD preconditioner (smoother='chebyshev')"
+        )
+        assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
+        if flexible is None:
+            flexible = self.coarse_kind not in ("chol", "inv")
+        if not hasattr(self, "_pcg_cache"):
+            self._pcg_cache = self._pcg_programs()
+        init_jit, step_jits = self._pcg_cache
+        step_jit = step_jits[bool(flexible)]
+        Ls_t = tuple(self.levels) if Ls is None else tuple(Ls)
+        inter = self._interior_payload() if interior is None else interior
+        lam_max = jnp.asarray(lam_max, self.dtype)
+
+        def init(b, x=None):
+            if x is None:
+                x, _ = self.zero_states()
+            return init_jit(
+                x, b, coeff, chol, Ls_t, self.base_elements, inter, lam_max
+            )
+
+        def step(state):
+            x, r, p, rz, _ = state
+            return step_jit(
+                x, r, p, rz, coeff, chol, Ls_t, self.base_elements, inter,
+                lam_max,
+            )
+
+        return init, step
+
     def solve(
         self, b, sigma_el, lam: float = 0.0, *, tol: float = 1e-8,
         max_cycles: int = 100, method: str = "auto", x=None, verbose: bool = False,

@@ -375,3 +375,41 @@ def test_lattice_sharded_driver_matches_single():
     s1 = checkerboard_homogenization(2, **kwargs)
     s8 = checkerboard_homogenization(2, device_mesh=mesh, **kwargs)
     assert abs(s8 - s1) < 1e-9 * abs(s1), (s1, s8)
+
+
+@pytest.mark.parametrize("geometry", ["ordered", "lattice"])
+def test_driver_inner_pcg_matches_vcycle(geometry):
+    """inner="pcg" (V-cycle-preconditioned CG inner solves under the same
+    sigma-increment stopping rule) produces the same sigma as the
+    reference-parity plain-V-cycle inner loop, within the tolerance."""
+    kw = dict(dim=2, refinements=1, tolerance=1e-6, seed=3,
+              dtype=jnp.float64, geometry=geometry)
+    s_v = checkerboard_homogenization(2, **kw)
+    s_p, tr = checkerboard_homogenization(
+        2, smoother="chebyshev", inner="pcg", return_trace=True, **kw
+    )
+    assert abs(s_v - s_p) < 50 * 1e-6, (s_v, s_p)
+    assert all(c >= 1 for c in tr.cycles_per_step)
+
+
+def test_driver_inner_pcg_sharded_matches_single():
+    """inner="pcg" end to end on both sharded drivers == single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("e",))
+    # ordered geometry -> general-mesh sharded solver
+    kw_o = dict(dim=2, refinements=1, tolerance=1e-5, seed=7,
+                smoother="chebyshev", inner="pcg", geometry="ordered")
+    s1 = checkerboard_homogenization(1, **kw_o)
+    s8 = checkerboard_homogenization(1, device_mesh=mesh8, **kw_o)
+    assert abs(s8 - s1) < 1e-9 * max(abs(s1), 1e-300), (s1, s8)
+    # lattice geometry -> slab solver (4 shards divide the 14-cube box? use
+    # a box the shard count divides: n=1 -> 2*R0 cubes; R0=box+layer)
+    kw_l = dict(dim=2, refinements=1, tolerance=1e-5, seed=7,
+                smoother="chebyshev", inner="pcg", geometry="lattice",
+                lattice_order="cube")
+    l1 = checkerboard_homogenization(1, **kw_l)
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("e",))
+    l4 = checkerboard_homogenization(1, device_mesh=mesh4, **kw_l)
+    assert abs(l4 - l1) < 1e-9 * max(abs(l1), 1e-300), (l1, l4)
