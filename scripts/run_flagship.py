@@ -37,6 +37,10 @@ refinements = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
 
+# FLAGSHIP_INNER=pcg: V-cycle-preconditioned-CG inner solves (chebyshev
+# smoother implied) — ~halves iterations per outer step on the CPU study
+# (PERFORMANCE.md "Outer-solve modes"); A/B against the vcycle default
+inner = os.environ.get("FLAGSHIP_INNER", "vcycle")
 t0 = time.perf_counter()
 sigma, trace = checkerboard_homogenization(
     n,
@@ -47,7 +51,8 @@ sigma, trace = checkerboard_homogenization(
     dtype=jnp.float32,
     geometry="lattice",
     coarse="mg",
-    smoother="cg_exact",
+    smoother="chebyshev" if inner == "pcg" else "cg_exact",
+    inner=inner,
     solver_opts=dict(smooth_precision="high", coarse_mg_tol=5e-2),
     verbose=True,
     return_trace=True,

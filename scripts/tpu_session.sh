@@ -33,3 +33,6 @@ echo "bench bf16dir exit=$?"
 # (2-step smoothing A/B dropped: CPU cycles-to-tol measurement settled it —
 #  21 vs 12 cycles to 1e-3 at n=8, a net ~1.2x loss even at 0.7x cycle cost;
 #  PERFORMANCE.md "Smoothing-step count".)
+echo "=== flagship driver inner=pcg A/B (vs recorded 0.73 s/cycle vcycle) ==="
+FLAGSHIP_INNER=pcg timeout 5400 python -u scripts/run_flagship.py > /tmp/tpu_runs/flagship_pcg.log 2>&1
+echo "flagship pcg exit=$?"
