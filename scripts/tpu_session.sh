@@ -36,3 +36,7 @@ echo "bench bf16dir exit=$?"
 echo "=== flagship driver inner=pcg A/B (vs recorded 0.73 s/cycle vcycle) ==="
 FLAGSHIP_INNER=pcg timeout 5400 python -u scripts/run_flagship.py > /tmp/tpu_runs/flagship_pcg.log 2>&1
 echo "flagship pcg exit=$?"
+echo "=== N=46 (566M) retry with bf16 chebyshev directions (ceiling attempt) ==="
+BENCH_N=46 BENCH_SMOOTHER=chebyshev BENCH_DIRECTION_DTYPE=bfloat16 \
+  timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_n46_bf16dir.log 2>&1
+echo "bench n46 exit=$? (OOM expected if the bf16 directions don't close the 1.57G gap)"
