@@ -1410,3 +1410,118 @@ class MultigridSolver:
         k = self.nlevels - 1 if k is None else k
         rr = apply_mask(r, self.levels[k].first_copy_mask)
         return jnp.sqrt(jnp.vdot(rr, rr))
+
+
+def mixed_precision_pcg(
+    outer: MultigridSolver,
+    inner: MultigridSolver,
+    b,
+    sigma_el,
+    lam: float = 0.0,
+    *,
+    x=None,
+    iters: int = 200,
+    tol: float = 1e-12,
+):
+    """Iterative-refinement PCG: a high-precision Krylov loop around a
+    low-precision V-cycle preconditioner.
+
+    ``outer`` holds the Krylov state (x, r, p) and computes the fine-level
+    operator apply and all dot products at its dtype (float64); ``inner`` is
+    a chebyshev-smoothed solver on the SAME plan whose V-cycle runs at its
+    own dtype (float32) — each iteration casts the f64 residual down, runs
+    one f32 V-cycle, and casts the correction back up. Because the f32
+    cycle only has to *reduce* the error (not represent the solution), the
+    iteration converges to the f64 floor at mostly-f32 cost: one emulated-
+    f64 apply + BLAS-1 per iteration vs the cycle's ~8 f32 applies. This
+    breaks the measured f32 V-cycle floor (~9.4e-4 relative at 190M DOFs,
+    PERFORMANCE.md) without paying full-f64 V-cycles, a capability the
+    reference gets for free from CPU float64 (src/multigrid.jl:46-71) but a
+    TPU framework has to engineer.
+
+    The downcast must NOT be applied to the raw local-form residual. Local
+    (duplicated-contribution) entries stay O(|b|) even at convergence —
+    only their duplicate-sums vanish — so ``r.astype(f32)`` corrupts the
+    assembled content at O(eps32 * local-entry scale), flooring the whole
+    iteration at ~1e-7 relative (measured; the dominant error is created at
+    the cast, before the f32 cycle runs). Instead the residual handed to
+    the preconditioner is re-expressed at the assembled scale: combine the
+    duplicates in f64 and split the sum equally back across them
+    (``combine(r) / combine(ones)``) — exactly the same assembled vector,
+    but with entries O(assembled residual), so the cast loses only relative
+    precision and the loop reaches ~5e-15 relative (tests/test_mixed_pcg.py).
+    In assembled coordinates the preconditioner is unchanged, so it stays
+    SPD and plain (non-flexible) beta semantics would still hold; flexible
+    beta is kept for the casting noise.
+
+    The beta is flexible (Polak-Ribiere): casting + the tolerance-stopped
+    coarse solve make the preconditioner slightly nonlinear.
+
+    ``b`` is the f64 local (duplicated-contribution) rhs. Returns
+    ``(x, history)`` with history = exact first-copy residual norms, entry
+    0 = initial. Stops when ``history[-1] <= tol * history[0]``.
+    """
+    assert outer.plan is inner.plan, "solvers must share one GridPlan"
+    assert inner.smoother == "chebyshev", (
+        "the inner V-cycle must be a linear SPD preconditioner "
+        "(smoother='chebyshev'); cg smoothers are nonlinear — measured "
+        "divergent under outer CG (tests/test_pcg.py)"
+    )
+    assert jnp.dtype(outer.dtype).itemsize > jnp.dtype(inner.dtype).itemsize, (
+        "outer must run at higher precision than inner"
+    )
+    top = outer.nlevels - 1
+    coeff_o = outer.coefficients(sigma_el, lam)
+    coeff_i = inner.coefficients(sigma_el, lam)
+    chol_i = inner.coarse_setup(sigma_el, lam)
+    lam_max_i = jnp.asarray(inner.estimate_lambda_max(coeff_i), inner.dtype)
+    Ls_o = tuple(outer.levels)
+    Ls_i = tuple(inner.levels)
+    inter_i = inner._interior_payload()
+    # 1/multiplicity per slot: combine(ones) counts the duplicates.
+    inv_mult = 1.0 / outer._combine(
+        jnp.ones(outer.zero_states()[0].shape, outer.dtype), top, Ls_o
+    )
+
+    def precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o):
+        # re-express at the assembled scale BEFORE the downcast (docstring)
+        rs = (outer._combine(r, top, ls_o) * im).astype(inner.dtype)
+        z, _ = inner._vcycle_impl(
+            jnp.zeros(r.shape, inner.dtype), rs,
+            co_i, ch_i, ls_i, els, it_i, lm_i,
+        )
+        return z.astype(outer.dtype)
+
+    @jax.jit
+    def init(x, b, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
+        r = outer._local_residual(x, b, co_o, top, ls_o)
+        z = precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
+        rz = outer._vdot(z, r)
+        return x, r, z, rz, outer._pcg_rnorm(r, ls_o)
+
+    @jax.jit
+    def step(x, r, p, rz, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
+        # exact dots without combines: p/z consistent, Ap/r local
+        # (see _pcg_step_impl for the identity)
+        Ap = outer._constrain(outer._apply_op(p, co_o, top, ls_o), top, ls_o)
+        alpha = outer._safe_div(rz, outer._vdot(p, Ap))
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z = precond(r_new, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
+        rz_new = outer._vdot(z, r_new)
+        num = rz_new - outer._vdot(z, r)  # flexible beta
+        p = z + outer._safe_div(num, rz) * p
+        return x, r_new, p, rz_new, outer._pcg_rnorm(r_new, ls_o)
+
+    if x is None:
+        x, _ = outer.zero_states()
+    args = (inv_mult, coeff_o, Ls_o, coeff_i, chol_i, Ls_i,
+            inner.base_elements, inter_i, lam_max_i)
+    x, r, p, rz, rn = init(x, b, *args)
+    history = [float(rn)]
+    for _ in range(iters):
+        x, r, p, rz, rn = step(x, r, p, rz, *args)
+        history.append(float(rn))
+        if tol and history[-1] <= tol * history[0]:
+            break
+    return x, history

@@ -40,3 +40,6 @@ echo "=== N=46 (566M) retry with bf16 chebyshev directions (ceiling attempt) ===
 BENCH_N=46 BENCH_SMOOTHER=chebyshev BENCH_DIRECTION_DTYPE=bfloat16 \
   timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_n46_bf16dir.log 2>&1
 echo "bench n46 exit=$? (OOM expected if the bf16 directions don't close the 1.57G gap)"
+echo "=== mixed-precision PCG at scale: f64 depth at mostly-f32 cost ==="
+timeout 5400 python -u scripts/run_mixed_pcg.py 24 5 30 1e-10 > /tmp/tpu_runs/mixed_pcg24.log 2>&1
+echo "mixed pcg exit=$?"
