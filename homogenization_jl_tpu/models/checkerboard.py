@@ -295,6 +295,19 @@ def checkerboard_homogenization(
     tolerance, PERFORMANCE.md "Outer-solve modes"; requires
     smoother="chebyshev"). Same sigma up to the stopping tolerance.
     """
+    # validate before any dispatch so a bad/ignored ``inner`` never runs
+    # silently (multishift has no inner solve — only the default is valid)
+    if inner == "pcg":
+        assert solver != "multishift", (
+            "inner='pcg' does not apply to solver='multishift' (no inner "
+            "V-cycle there); drop one of the two"
+        )
+        assert smoother == "chebyshev", (
+            "inner='pcg' needs a linear SPD preconditioner: pass "
+            "smoother='chebyshev'"
+        )
+    else:
+        assert inner == "vcycle", inner
     if solver == "multishift":
         from .multishift import homogenization_multishift
 
@@ -307,13 +320,6 @@ def checkerboard_homogenization(
             cond_field=cond_field,
             seed=seed,
         )
-    if inner == "pcg":
-        assert smoother == "chebyshev", (
-            "inner='pcg' needs a linear SPD preconditioner: pass "
-            "smoother='chebyshev'"
-        )
-    else:
-        assert inner == "vcycle", inner
     if geometry == "lattice":
         return _checkerboard_lattice(
             n, dim=dim, refinements=refinements,

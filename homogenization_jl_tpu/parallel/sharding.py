@@ -807,13 +807,14 @@ class ShardedMultigridSolver:
             out_specs=(state, state, state, P(), P()), check_vma=False,
         )
         steps = {}
+        donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
         for fl in (False, True):
             sm = jax.shard_map(
                 mk_step(fl), mesh=self.mesh,
                 in_specs=(state, state, state, P()) + common,
                 out_specs=(state, state, state, P(), P()), check_vma=False,
             )
-            steps[fl] = jax.jit(sm, donate_argnums=(0, 1, 2))
+            steps[fl] = jax.jit(sm, donate_argnums=donate)
         return jax.jit(init_sm), steps
 
     def pcg(
@@ -1030,53 +1031,12 @@ class ShardedMultigridSolver:
         max_cycles: int = 100, method: str = "auto", x=None,
         verbose: bool = False,
     ):
-        """One-call tolerance-driven solve, sharded — same semantics and
-        normalization as MultigridSolver.solve (the slab solver inherits
-        that one; this is the general-mesh counterpart)."""
-        if method == "auto":
-            method = "fmg+pcg" if self.smoother == "chebyshev" else "fmg"
-        coeff = self.coefficients(sigma_el, lam)
-        setup = self.coarse_setup(sigma_el, lam)
-        lam_max = (
-            self.estimate_lambda_max(coeff)
-            if self.smoother == "chebyshev"
-            else None
+        """One-call tolerance-driven solve, sharded — the shared
+        ``solve_driver`` over this class's sharded primitives (same
+        semantics and normalization as MultigridSolver.solve)."""
+        from ..solver.multigrid import solve_driver
+
+        return solve_driver(
+            self, b, sigma_el, lam, tol=tol, max_cycles=max_cycles,
+            method=method, x=x, verbose=verbose,
         )
-        bb = b * self.levels[-1]["first_copy_mask"]
-        b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
-        if x is None and method in ("vcycle", "pcg"):
-            x, _ = self.zero_states()
-        history = [
-            float(self.initial_residual_norm(b, coeff, x=x)) / b_norm
-        ]
-        if verbose:
-            print(f"initial: rel residual {history[0]:.3e}", flush=True)
-        if method in ("fmg", "fmg+pcg") and history[-1] > tol:
-            x, r = self.fmg(b, coeff, setup, lam_max=lam_max)
-            history.append(float(self.residual_norm(r)) / b_norm)
-            if verbose:
-                print(f"fmg: rel residual {history[-1]:.3e}", flush=True)
-        if method in ("pcg", "fmg+pcg"):
-            if history[-1] > tol:
-                x, hist_p = self.pcg(
-                    b, coeff, setup, lam_max=lam_max, x=x,
-                    iters=max_cycles, tol=tol / history[-1],
-                )
-                history.extend(h / b_norm for h in hist_p[1:])
-                if verbose:
-                    print(
-                        f"pcg: rel residual {history[-1]:.3e} "
-                        f"after {len(hist_p) - 1} iters",
-                        flush=True,
-                    )
-        else:
-            while len(history) - 1 < max_cycles and history[-1] > tol:
-                x, r = self.vcycle(x, b, coeff, setup, lam_max=lam_max)
-                history.append(float(self.residual_norm(r)) / b_norm)
-                if verbose:
-                    print(
-                        f"cycle {len(history) - 1}: rel residual "
-                        f"{history[-1]:.3e}",
-                        flush=True,
-                    )
-        return x, history

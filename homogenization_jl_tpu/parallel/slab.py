@@ -361,7 +361,8 @@ class SlabShardedMultigridSolver(MultigridSolver):
                 out_specs=(state, state, state, P(), P()),
                 check_vma=False,
             )
-            return jax.jit(sm, donate_argnums=(0, 1, 2))
+            donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
+            return jax.jit(sm, donate_argnums=donate)
 
         return jax.jit(init), {fl: mk(fl) for fl in (False, True)}
 
@@ -417,7 +418,9 @@ class SlabShardedMultigridSolver(MultigridSolver):
             )
         if x is None:
             x = jnp.zeros_like(b)
-        return self._combine_sm[key](x, b, coeff, tuple(self.levels))
+        return self._combine_sm[key](
+            x, b, coeff, tuple(self.levels) if Ls is None else tuple(Ls)
+        )
 
     def put(self, a, spec=None):
         """Place a global element-leading array with the slab sharding."""

@@ -1238,56 +1238,14 @@ class MultigridSolver:
         or "auto" = "fmg+pcg" for chebyshev solvers and "fmg" otherwise.
         The reference exposes no solve driver — its examples hand-roll the
         vcycle! loop (src/examples/homogenized_coefficients.jl:269).
+
+        The body is the shared ``solve_driver`` — the sharded solvers run
+        the identical driver over their own primitives.
         """
-        if method == "auto":
-            method = "fmg+pcg" if self.smoother == "chebyshev" else "fmg"
-        coeff = self.coefficients(sigma_el, lam)
-        setup = self.coarse_setup(sigma_el, lam)
-        lam_max = (
-            self.estimate_lambda_max(coeff)
-            if self.smoother == "chebyshev"
-            else None
+        return solve_driver(
+            self, b, sigma_el, lam, tol=tol, max_cycles=max_cycles,
+            method=method, x=x, verbose=verbose,
         )
-        bb = apply_mask(b, self.levels[-1].first_copy_mask)
-        b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
-        if x is None and method in ("vcycle", "pcg"):
-            x, _ = self.zero_states()
-        # history[0] = the TRUE initial relative residual — every stopping
-        # test below is history[-1] <= tol against this same normalization
-        # (||first-copy of constrain(combine(b - A x0))|| / ||first-copy b||)
-        history = [
-            float(self.initial_residual_norm(b, coeff, x=x)) / b_norm
-        ]
-        if verbose:
-            print(f"initial: rel residual {history[0]:.3e}", flush=True)
-        if method in ("fmg", "fmg+pcg") and history[-1] > tol:
-            x, r = self.fmg(b, coeff, setup, lam_max=lam_max)
-            history.append(float(self.residual_norm(r)) / b_norm)
-            if verbose:
-                print(f"fmg: rel residual {history[-1]:.3e}", flush=True)
-        if method in ("pcg", "fmg+pcg"):
-            if history[-1] > tol:
-                # pcg stops relative to ITS OWN start residual, which in
-                # this normalization is history[-1]
-                x, hist_p = self.pcg(
-                    b, coeff, setup, lam_max=lam_max, x=x,
-                    iters=max_cycles, tol=tol / history[-1],
-                )
-                history.extend(h / b_norm for h in hist_p[1:])
-                if verbose:
-                    print(f"pcg: rel residual {history[-1]:.3e} "
-                          f"after {len(hist_p) - 1} iters", flush=True)
-        else:
-            while len(history) - 1 < max_cycles and history[-1] > tol:
-                x, r = self.vcycle(x, b, coeff, setup, lam_max=lam_max)
-                history.append(float(self.residual_norm(r)) / b_norm)
-                if verbose:
-                    print(
-                        f"cycle {len(history) - 1}: rel residual "
-                        f"{history[-1]:.3e}",
-                        flush=True,
-                    )
-        return x, history
 
     def initial_residual_norm(self, b, coeff, x=None, Ls=None):
         """Exact first-copy norm of the constrained combined residual
@@ -1412,16 +1370,106 @@ class MultigridSolver:
         return jnp.sqrt(jnp.vdot(rr, rr))
 
 
+def solve_driver(
+    solver, b, sigma_el, lam: float = 0.0, *, tol: float = 1e-8,
+    max_cycles: int = 100, method: str = "auto", x=None, verbose: bool = False,
+):
+    """The one-call tolerance-driven solve, written against the common
+    solver surface (coefficients / coarse_setup / estimate_lambda_max /
+    residual_norm / initial_residual_norm / zero_states / fmg / pcg /
+    vcycle) so MultigridSolver, ShardedMultigridSolver, and the slab
+    solver all run the SAME driver — one place for the stopping logic and
+    its normalization."""
+    if method == "auto":
+        method = "fmg+pcg" if solver.smoother == "chebyshev" else "fmg"
+    coeff = solver.coefficients(sigma_el, lam)
+    setup = solver.coarse_setup(sigma_el, lam)
+    lam_max = (
+        solver.estimate_lambda_max(coeff)
+        if solver.smoother == "chebyshev"
+        else None
+    )
+    b_norm = float(solver.residual_norm(b))
+    if b_norm == 0.0:
+        # zero rhs: the solution is zero (or the caller's x is already
+        # exact in the constrained subspace); avoid the 0/0 history
+        return (solver.zero_states()[0] if x is None else x), [0.0]
+    if x is None and method in ("vcycle", "pcg"):
+        x, _ = solver.zero_states()
+    # history[0] = the TRUE initial relative residual — every stopping
+    # test below is history[-1] <= tol against this same normalization
+    # (||first-copy of constrain(combine(b - A x0))|| / ||first-copy b||)
+    history = [float(solver.initial_residual_norm(b, coeff, x=x)) / b_norm]
+    if verbose:
+        print(f"initial: rel residual {history[0]:.3e}", flush=True)
+    if history[0] <= tol:
+        # already converged: never fall through with x=None
+        return (solver.zero_states()[0] if x is None else x), history
+    if method in ("fmg", "fmg+pcg"):
+        x, r = solver.fmg(b, coeff, setup, lam_max=lam_max)
+        history.append(float(solver.residual_norm(r)) / b_norm)
+        if verbose:
+            print(f"fmg: rel residual {history[-1]:.3e}", flush=True)
+    if method in ("pcg", "fmg+pcg"):
+        if history[-1] > tol:
+            # pcg stops relative to ITS OWN start residual, which in
+            # this normalization is history[-1]
+            x, hist_p = solver.pcg(
+                b, coeff, setup, lam_max=lam_max, x=x,
+                iters=max_cycles, tol=tol / history[-1],
+            )
+            history.extend(h / b_norm for h in hist_p[1:])
+            if verbose:
+                print(f"pcg: rel residual {history[-1]:.3e} "
+                      f"after {len(hist_p) - 1} iters", flush=True)
+    else:
+        while len(history) - 1 < max_cycles and history[-1] > tol:
+            x, r = solver.vcycle(x, b, coeff, setup, lam_max=lam_max)
+            history.append(float(solver.residual_norm(r)) / b_norm)
+            if verbose:
+                print(
+                    f"cycle {len(history) - 1}: rel residual "
+                    f"{history[-1]:.3e}",
+                    flush=True,
+                )
+    return x, history
+
+
+def mixed_precision_setup(
+    outer: MultigridSolver, inner: MultigridSolver, sigma_el, lam: float = 0.0
+):
+    """Precompute mixed_precision_pcg's per-coefficient state (both
+    solvers' coefficients, the inner coarse setup, the 30-iteration
+    lam_max power iteration, the combine multiplicities) once, so repeated
+    calls — a warm-up followed by a timed run, or several rhs with one
+    conductivity field — don't redo it. Pass the result as ``setup=``."""
+    top = outer.nlevels - 1
+    coeff_o = outer.coefficients(sigma_el, lam)
+    coeff_i = inner.coefficients(sigma_el, lam)
+    chol_i = inner.coarse_setup(sigma_el, lam)
+    lam_max_i = jnp.asarray(inner.estimate_lambda_max(coeff_i), inner.dtype)
+    Ls_o = tuple(outer.levels)
+    # 1/multiplicity per slot: combine(ones) counts the duplicates.
+    inv_mult = 1.0 / outer._combine(
+        jnp.ones(outer.zero_states()[0].shape, outer.dtype), top, Ls_o
+    )
+    return (
+        inv_mult, coeff_o, Ls_o, coeff_i, chol_i, tuple(inner.levels),
+        inner.base_elements, inner._interior_payload(), lam_max_i,
+    )
+
+
 def mixed_precision_pcg(
     outer: MultigridSolver,
     inner: MultigridSolver,
     b,
-    sigma_el,
+    sigma_el=None,
     lam: float = 0.0,
     *,
     x=None,
     iters: int = 200,
     tol: float = 1e-12,
+    setup=None,
 ):
     """Iterative-refinement PCG: a high-precision Krylov loop around a
     low-precision V-cycle preconditioner.
@@ -1460,6 +1508,11 @@ def mixed_precision_pcg(
     ``b`` is the f64 local (duplicated-contribution) rhs. Returns
     ``(x, history)`` with history = exact first-copy residual norms, entry
     0 = initial. Stops when ``history[-1] <= tol * history[0]``.
+
+    The jitted init/step programs are cached on ``outer`` per inner solver,
+    and ``setup=mixed_precision_setup(...)`` lets repeated calls (warm-up
+    then timed, or several rhs on one field) skip the coefficient/coarse/
+    lam_max precompute; with ``setup`` given, ``sigma_el`` is unused.
     """
     assert outer.plan is inner.plan, "solvers must share one GridPlan"
     assert inner.smoother == "chebyshev", (
@@ -1471,52 +1524,55 @@ def mixed_precision_pcg(
         "outer must run at higher precision than inner"
     )
     top = outer.nlevels - 1
-    coeff_o = outer.coefficients(sigma_el, lam)
-    coeff_i = inner.coefficients(sigma_el, lam)
-    chol_i = inner.coarse_setup(sigma_el, lam)
-    lam_max_i = jnp.asarray(inner.estimate_lambda_max(coeff_i), inner.dtype)
-    Ls_o = tuple(outer.levels)
-    Ls_i = tuple(inner.levels)
-    inter_i = inner._interior_payload()
-    # 1/multiplicity per slot: combine(ones) counts the duplicates.
-    inv_mult = 1.0 / outer._combine(
-        jnp.ones(outer.zero_states()[0].shape, outer.dtype), top, Ls_o
-    )
+    if setup is None:
+        assert sigma_el is not None, "pass sigma_el or setup="
+        setup = mixed_precision_setup(outer, inner, sigma_el, lam)
 
-    def precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o):
-        # re-express at the assembled scale BEFORE the downcast (docstring)
-        rs = (outer._combine(r, top, ls_o) * im).astype(inner.dtype)
-        z, _ = inner._vcycle_impl(
-            jnp.zeros(r.shape, inner.dtype), rs,
-            co_i, ch_i, ls_i, els, it_i, lm_i,
-        )
-        return z.astype(outer.dtype)
+    cache = outer.__dict__.setdefault("_mixed_pcg_programs", {})
+    key = id(inner)
+    if key not in cache:
 
-    @jax.jit
-    def init(x, b, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
-        r = outer._local_residual(x, b, co_o, top, ls_o)
-        z = precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
-        rz = outer._vdot(z, r)
-        return x, r, z, rz, outer._pcg_rnorm(r, ls_o)
+        def precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o):
+            # re-express at the assembled scale BEFORE the downcast
+            # (docstring)
+            rs = (outer._combine(r, top, ls_o) * im).astype(inner.dtype)
+            z, _ = inner._vcycle_impl(
+                jnp.zeros(r.shape, inner.dtype), rs,
+                co_i, ch_i, ls_i, els, it_i, lm_i,
+            )
+            return z.astype(outer.dtype)
 
-    @jax.jit
-    def step(x, r, p, rz, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
-        # exact dots without combines: p/z consistent, Ap/r local
-        # (see _pcg_step_impl for the identity)
-        Ap = outer._constrain(outer._apply_op(p, co_o, top, ls_o), top, ls_o)
-        alpha = outer._safe_div(rz, outer._vdot(p, Ap))
-        x = x + alpha * p
-        r_new = r - alpha * Ap
-        z = precond(r_new, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
-        rz_new = outer._vdot(z, r_new)
-        num = rz_new - outer._vdot(z, r)  # flexible beta
-        p = z + outer._safe_div(num, rz) * p
-        return x, r_new, p, rz_new, outer._pcg_rnorm(r_new, ls_o)
+        @jax.jit
+        def init(x, b, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
+            r = outer._local_residual(x, b, co_o, top, ls_o)
+            z = precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
+            rz = outer._vdot(z, r)
+            return x, r, z, rz, outer._pcg_rnorm(r, ls_o)
+
+        @jax.jit
+        def step(x, r, p, rz, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
+            # exact dots without combines: p/z consistent, Ap/r local
+            # (see _pcg_step_impl for the identity)
+            Ap = outer._constrain(outer._apply_op(p, co_o, top, ls_o), top, ls_o)
+            alpha = outer._safe_div(rz, outer._vdot(p, Ap))
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            z = precond(r_new, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
+            rz_new = outer._vdot(z, r_new)
+            num = rz_new - outer._vdot(z, r)  # flexible beta
+            p = z + outer._safe_div(num, rz) * p
+            return x, r_new, p, rz_new, outer._pcg_rnorm(r_new, ls_o)
+
+        # hold a strong ref to inner so the id() key cannot be recycled
+        cache[key] = (init, step, inner)
+    init, step, _ = cache[key]
 
     if x is None:
         x, _ = outer.zero_states()
+    (inv_mult, coeff_o, Ls_o, coeff_i, chol_i, Ls_i, els_i, inter_i,
+     lam_max_i) = setup
     args = (inv_mult, coeff_o, Ls_o, coeff_i, chol_i, Ls_i,
-            inner.base_elements, inter_i, lam_max_i)
+            els_i, inter_i, lam_max_i)
     x, r, p, rz, rn = init(x, b, *args)
     history = [float(rn)]
     for _ in range(iters):

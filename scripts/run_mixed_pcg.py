@@ -15,12 +15,17 @@ import sys
 import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from homogenization_jl_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the host's axon TPU plugin overrides the env var alone
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 
@@ -37,6 +42,7 @@ from homogenization_jl_tpu.ops.plan import build_grid_plan
 from homogenization_jl_tpu.solver.multigrid import (
     MultigridSolver,
     mixed_precision_pcg,
+    mixed_precision_setup,
 )
 
 
@@ -68,11 +74,18 @@ def main():
     b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=jnp.float64)
 
     t0 = time.perf_counter()
-    x, hist = mixed_precision_pcg(outer, inner, b, sigma, iters=2, tol=0.0)
+    setup = mixed_precision_setup(outer, inner, sigma)
+    print(f"setup (coeffs+coarse+lam_max): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    x, hist = mixed_precision_pcg(outer, inner, b, setup=setup, iters=2, tol=0.0)
     print(f"compile+2 iters: {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    x, hist = mixed_precision_pcg(outer, inner, b, sigma, iters=iters, tol=tol)
+    x, hist = mixed_precision_pcg(
+        outer, inner, b, setup=setup, iters=iters, tol=tol
+    )
     dt = time.perf_counter() - t0
     for i, h in enumerate(hist):
         print(f"  iter {i}: |r| = {h:.4e}  rel = {h / hist[0]:.4e}")

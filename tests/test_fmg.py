@@ -100,3 +100,33 @@ def test_solve_api(method):
     bb = b * solver.levels[-1].first_copy_mask
     rel = float(solver.residual_norm(r)) / float(jnp.sqrt(jnp.vdot(bb, bb)))
     assert rel <= 2e-9, rel
+
+
+@pytest.mark.parametrize("method", ["auto", "fmg", "vcycle", "fmg+pcg"])
+def test_solve_zero_rhs_and_preconverged(method):
+    """solve() edge cases: b = 0 must return (zeros, [0.0]) rather than a
+    0/0-nan history, and an already-converged start must return a real
+    iterate (never None) for every method — including the fmg-family
+    methods that only bind x inside their branch."""
+    smoother = "chebyshev" if method in ("fmg+pcg", "auto") else "cg_exact"
+    base = hypercube(2, 4)
+    plan = build_grid_plan(base, 3, slot_tables=False)
+    rng = np.random.default_rng(3)
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 2))
+    solver = MultigridSolver(plan, smoother=smoother)
+
+    b0 = jnp.zeros((base.nelements, plan.n_local(2)))
+    x, hist = solver.solve(b0, sigma, 0.0, tol=1e-8, method=method)
+    assert x is not None and hist == [0.0]
+    assert float(jnp.max(jnp.abs(x))) == 0.0
+
+    # converged at entry: solve to tol, then re-enter with the solution
+    b_ref = load_vector(plan.reference.levels[2])
+    _, _, detJ, _ = affine_maps(base)
+    b = jnp.asarray(detJ[:, None] * b_ref[None, :])
+    x1, h1 = solver.solve(b, sigma, 0.0, tol=1e-10, max_cycles=60,
+                          method=method)
+    assert h1[-1] <= 1e-10, h1[-3:]
+    x2, h2 = solver.solve(b, sigma, 0.0, tol=1e-6, method=method, x=x1)
+    assert x2 is not None and len(h2) == 1 and h2[0] <= 1e-6
+    assert float(jnp.max(jnp.abs(x2 - x1))) == 0.0
