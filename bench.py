@@ -101,7 +101,7 @@ def main():
     chol = solver.coarse_setup(sigma, 0.0)
     lam_max = (
         jnp.asarray(solver.estimate_lambda_max(coeff), dtype)
-        if smoother == "chebyshev"
+        if smoother in ("chebyshev", "chebyshev4")
         else None
     )
     b_ref = load_vector(plan.reference.levels[nlevels - 1])

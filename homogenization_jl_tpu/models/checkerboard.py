@@ -28,7 +28,7 @@ import numpy as np
 from ..fem.local_operators import partial_derivative_functionals
 from ..mesh.grid import Mesh, affine_maps, hypercube
 from ..ops.plan import build_grid_plan
-from ..solver.multigrid import MultigridSolver
+from ..solver.multigrid import CHEBYSHEV_SMOOTHERS, MultigridSolver
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -302,9 +302,9 @@ def checkerboard_homogenization(
             "inner='pcg' does not apply to solver='multishift' (no inner "
             "V-cycle there); drop one of the two"
         )
-        assert smoother == "chebyshev", (
+        assert smoother in CHEBYSHEV_SMOOTHERS, (
             "inner='pcg' needs a linear SPD preconditioner: pass "
-            "smoother='chebyshev'"
+            "smoother='chebyshev' or 'chebyshev4'"
         )
     else:
         assert inner == "vcycle", inner
@@ -438,7 +438,7 @@ def checkerboard_homogenization(
             setup = solver.coarse_setup(sigma_el, lam)
             lam_max = (
                 solver.estimate_lambda_max(coeff)
-                if smoother == "chebyshev"
+                if smoother in CHEBYSHEV_SMOOTHERS
                 else None
             )
 
@@ -739,7 +739,7 @@ def _checkerboard_lattice(
             setup = sol.coarse_setup(sigma_el, lam)
             lam_max = (
                 sol.estimate_lambda_max(coeff)
-                if smoother == "chebyshev"
+                if smoother in CHEBYSHEV_SMOOTHERS
                 else None
             )
             mask = to_dev((cnorm <= box_radius).astype(np.float64))

@@ -19,7 +19,7 @@ from ..fem.assembly import assemble_operator
 from ..fem.local_operators import load_vector
 from ..mesh.grid import affine_maps, hypercube, interior_nodes
 from ..ops.plan import build_grid_plan
-from ..solver.multigrid import MultigridSolver
+from ..solver.multigrid import CHEBYSHEV_SMOOTHERS, MultigridSolver
 from ..utils.fft_field import st1_conductivity
 
 
@@ -119,7 +119,7 @@ def st1_multigrid(
 
     lam_max = (
         solver.estimate_lambda_max(coeff)
-        if solver.smoother == "chebyshev"
+        if solver.smoother in CHEBYSHEV_SMOOTHERS
         else None
     )
     if method == "pcg":

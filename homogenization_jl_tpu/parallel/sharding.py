@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.plan import GridPlan
-from ..solver.multigrid import MultigridSolver
+from ..solver.multigrid import CHEBYSHEV_SMOOTHERS, MultigridSolver
 
 AXIS = "e"
 
@@ -403,7 +403,7 @@ class ShardedMultigridSolver:
         return jax.lax.psum(jnp.vdot(a, b), AXIS)
 
     def _smooth(self, x, b, coeff, L, k, valid, steps, lam_max=None):
-        if self.smoother == "chebyshev":
+        if self.smoother in CHEBYSHEV_SMOOTHERS:
             if lam_max is not None and jnp.ndim(lam_max) == 1:
                 lam_max = lam_max[k]  # per-level estimates (k is static)
             return self._smooth_chebyshev(x, b, coeff, L, k, valid, steps, lam_max)
@@ -439,6 +439,7 @@ class ShardedMultigridSolver:
         bm = L["boundary_mask"]
         d = self._diagonal(coeff, L, k, valid)
         dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        fourth = self.smoother == "chebyshev4"
         lam_min = lam_max / self.cheb_ratio
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
@@ -448,17 +449,23 @@ class ShardedMultigridSolver:
 
         r = residual(x)
         z = dinv * r
-        p = (1.0 / theta) * z
+        p = ((4.0 / 3.0) / lam_max if fourth else 1.0 / theta) * z
         x = x + p
         sigma = theta / delta
         rho = 1.0 / sigma
-        for _ in range(steps - 1):
+        for j in range(2, steps + 1):
             r = residual(x)
             z = dinv * r
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            p = rho_new * rho * p + (2.0 * rho_new / delta) * z
+            if fourth:
+                p = (
+                    ((2.0 * j - 3.0) / (2.0 * j + 1.0)) * p
+                    + ((8.0 * j - 4.0) / (2.0 * j + 1.0) / lam_max) * z
+                )
+            else:
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                p = rho_new * rho * p + (2.0 * rho_new / delta) * z
+                rho = rho_new
             x = x + p
-            rho = rho_new
         r = residual(x)
         return x, r
 
@@ -732,7 +739,7 @@ class ShardedMultigridSolver:
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)
         if lam_max is None:
-            assert self.smoother != "chebyshev", (
+            assert self.smoother not in CHEBYSHEV_SMOOTHERS, (
                 "pass lam_max=estimate_lambda_max(coeff)"
             )
             lam_max = jnp.zeros((), dtype=self.dtype)
@@ -823,9 +830,9 @@ class ShardedMultigridSolver:
     ):
         """V-cycle-preconditioned (flexible) CG, sharded — see
         MultigridSolver.pcg for the math and the chebyshev requirement."""
-        assert self.smoother == "chebyshev", (
+        assert self.smoother in CHEBYSHEV_SMOOTHERS, (
             "pcg needs a linear SPD preconditioner: construct the solver "
-            "with smoother='chebyshev'"
+            "with smoother='chebyshev'/'chebyshev4'"
         )
         assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         if chol is None:
@@ -854,8 +861,9 @@ class ShardedMultigridSolver:
         """Stepwise pcg (see MultigridSolver.pcg_stepper): (init, step) with
         state = (x, r, p, rz, rn) — what the homogenization driver's
         inner="pcg" mode drives on the general-mesh sharded solver."""
-        assert self.smoother == "chebyshev", (
-            "pcg needs a linear SPD preconditioner (smoother='chebyshev')"
+        assert self.smoother in CHEBYSHEV_SMOOTHERS, (
+            "pcg needs a linear SPD preconditioner "
+            "(smoother='chebyshev'/'chebyshev4')"
         )
         assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         if chol is None:
@@ -926,7 +934,7 @@ class ShardedMultigridSolver:
         if chol is None:
             assert self.coarse_kind not in ("chol", "inv", "mg")
             chol = jnp.zeros((0, 0), dtype=self.dtype)
-        if self.smoother == "chebyshev":
+        if self.smoother in CHEBYSHEV_SMOOTHERS:
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         lam_max = jnp.asarray(0.0 if lam_max is None else lam_max, self.dtype)
         if not hasattr(self, "_fmg_cache"):

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.interfaces import copy_to_base
 from ..ops.plan import GridPlan
 from ..ops.structured import combine_structured_slab, constrain_structured_slab
-from ..solver.multigrid import MultigridSolver
+from ..solver.multigrid import CHEBYSHEV_SMOOTHERS, MultigridSolver
 
 AXIS = "e"
 
@@ -319,7 +319,7 @@ class SlabShardedMultigridSolver(MultigridSolver):
                 "pass coarse_setup(sigma, lam) as chol"
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)
-        if self.smoother == "chebyshev":
+        if self.smoother in CHEBYSHEV_SMOOTHERS:
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         lam_max = jnp.asarray(0.0 if lam_max is None else lam_max, self.dtype)
         return self._vcycle(

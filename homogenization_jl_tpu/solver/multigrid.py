@@ -44,6 +44,11 @@ from ..ops.transfer import prolong_add, restrict
 from ..mesh.reference import prolongation_dense
 
 
+# the polynomial (dot-free, linear) smoother family: both are valid SPD
+# V-cycle preconditioners for pcg and share the lam_max plumbing
+CHEBYSHEV_SMOOTHERS = ("chebyshev", "chebyshev4")
+
+
 class LevelDevice(NamedTuple):
     """Per-level device arrays. Passed to the jitted V-cycle as *arguments*
     (a NamedTuple pytree), not closure constants: baking [E, n_local] masks
@@ -623,11 +628,22 @@ class MultigridSolver:
     def _smooth_chebyshev(self, x, b, coeff, lam_max, *, k, steps, Ls=None):
         """Jacobi-preconditioned Chebyshev smoother: no dot products at all
         (no cross-chip reductions, and none of the CG smoother's
-        duplicated-DOF dot inexactness). Classic three-term recurrence on
-        D^{-1}A over [lam_max/ratio, lam_max]. Returns (x, r)."""
+        duplicated-DOF dot inexactness). Returns (x, r).
+
+        smoother="chebyshev": classic first-kind three-term recurrence on
+        D^{-1}A over [lam_max/cheb_ratio, lam_max].
+        smoother="chebyshev4": fourth-kind Chebyshev recurrence (Lottes,
+        "Optimal polynomial smoothers for multigrid V-cycles", 2022) —
+        targets the FULL [0, lam_max] interval with the sqrt-weighted
+        minimax polynomial MG smoothing wants, so it needs no lam_min /
+        cheb_ratio hyperparameter and damps the upper half-spectrum ~2.5x
+        harder per sweep at identical cost (same applies, same axpys;
+        measured scalar bound at 3 steps: max|E| on [lam/4, lam] = 0.233
+        vs 0.596 for first-kind at ratio 30)."""
         L = (Ls or self.levels)[k]
         d = self.diagonal(coeff, k, Ls)
         dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        fourth = self.smoother == "chebyshev4"
         lam_min = lam_max / self.cheb_ratio
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
@@ -654,22 +670,31 @@ class MultigridSolver:
         load = (lambda v: v.astype(x.dtype)) if dd is not None else (lambda v: v)
         r = residual(x, sp)
         z = dinv * r
-        p = store((1.0 / theta) * z)
+        p = store(((4.0 / 3.0) / lam_max if fourth else 1.0 / theta) * z)
         x = x + load(p)
         sigma = theta / delta
         rho = 1.0 / sigma
-        for _ in range(steps - 1):
+        for j in range(2, steps + 1):
             r = residual(x, sp)
             z = dinv * r
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            p = store(rho_new * rho * load(p) + (2.0 * rho_new / delta) * z)
+            if fourth:
+                # p_j = (2j-3)/(2j+1) p_{j-1} + (8j-4)/((2j+1) lam) z
+                p = store(
+                    ((2.0 * j - 3.0) / (2.0 * j + 1.0)) * load(p)
+                    + ((8.0 * j - 4.0) / (2.0 * j + 1.0) / lam_max) * z
+                )
+            else:
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                p = store(
+                    rho_new * rho * load(p) + (2.0 * rho_new / delta) * z
+                )
+                rho = rho_new
             x = x + load(p)
-            rho = rho_new
         r = residual(x)
         return x, r
 
     def _smooth(self, x, b, coeff, *, k, steps, Ls=None, lam_max=None):
-        if self.smoother == "chebyshev":
+        if self.smoother in CHEBYSHEV_SMOOTHERS:
             # scalar = finest-level estimate reused everywhere; an
             # [nlevels] array (estimate_lambda_max_levels) is indexed per
             # level — k is static, so this is free under jit
@@ -1055,7 +1080,7 @@ class MultigridSolver:
                 "pass coarse_setup(sigma, lam) as chol"
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)
-        if self.smoother == "chebyshev":
+        if self.smoother in CHEBYSHEV_SMOOTHERS:
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         return self._vcycle(
             x,
@@ -1146,10 +1171,10 @@ class MultigridSolver:
                 "pass coarse_setup(sigma, lam) as chol"
             )
             chol = jnp.zeros((0, 0), dtype=self.dtype)
-        assert self.smoother == "chebyshev", (
+        assert self.smoother in CHEBYSHEV_SMOOTHERS, (
             "pcg needs a linear SPD preconditioner: construct the solver "
-            "with smoother='chebyshev' (cg smoothers make the V-cycle "
-            "nonlinear — measured divergent as a CG preconditioner)"
+            "with smoother='chebyshev'/'chebyshev4' (cg smoothers make the "
+            "V-cycle nonlinear — measured divergent as a CG preconditioner)"
         )
         assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         if flexible is None:
@@ -1194,8 +1219,9 @@ class MultigridSolver:
         if chol is None:
             assert self.coarse_kind not in ("chol", "inv", "mg")
             chol = jnp.zeros((0, 0), dtype=self.dtype)
-        assert self.smoother == "chebyshev", (
-            "pcg needs a linear SPD preconditioner (smoother='chebyshev')"
+        assert self.smoother in CHEBYSHEV_SMOOTHERS, (
+            "pcg needs a linear SPD preconditioner "
+            "(smoother='chebyshev'/'chebyshev4')"
         )
         assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         if flexible is None:
@@ -1309,7 +1335,7 @@ class MultigridSolver:
             chol = jnp.zeros((0, 0), dtype=self.dtype)
         assert nu >= 1, "fmg needs at least one V-cycle per ascent level"
         assert self.nlevels >= 2, "fmg needs a hierarchy"
-        if self.smoother == "chebyshev":
+        if self.smoother in CHEBYSHEV_SMOOTHERS:
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
         # 0.0 placeholder keeps the (sharded) program signature uniform;
         # only the chebyshev smoother reads it, and it asserts above
@@ -1381,12 +1407,12 @@ def solve_driver(
     solver all run the SAME driver — one place for the stopping logic and
     its normalization."""
     if method == "auto":
-        method = "fmg+pcg" if solver.smoother == "chebyshev" else "fmg"
+        method = "fmg+pcg" if solver.smoother in CHEBYSHEV_SMOOTHERS else "fmg"
     coeff = solver.coefficients(sigma_el, lam)
     setup = solver.coarse_setup(sigma_el, lam)
     lam_max = (
         solver.estimate_lambda_max(coeff)
-        if solver.smoother == "chebyshev"
+        if solver.smoother in CHEBYSHEV_SMOOTHERS
         else None
     )
     b_norm = float(solver.residual_norm(b))
@@ -1515,7 +1541,7 @@ def mixed_precision_pcg(
     lam_max precompute; with ``setup`` given, ``sigma_el`` is unused.
     """
     assert outer.plan is inner.plan, "solvers must share one GridPlan"
-    assert inner.smoother == "chebyshev", (
+    assert inner.smoother in CHEBYSHEV_SMOOTHERS, (
         "the inner V-cycle must be a linear SPD preconditioner "
         "(smoother='chebyshev'); cg smoothers are nonlinear — measured "
         "divergent under outer CG (tests/test_pcg.py)"

@@ -26,10 +26,11 @@ def _setup(dim, n, levels, seed=3):
     return plan, sigma, jnp.asarray(detJ[:, None] * b_ref[None, :])
 
 
+@pytest.mark.parametrize("smoother", ["chebyshev", "chebyshev4"])
 @pytest.mark.parametrize("dim,n,levels", [(2, 4, 3), (3, 2, 3)])
-def test_chebyshev_vcycle_contracts(dim, n, levels):
+def test_chebyshev_vcycle_contracts(dim, n, levels, smoother):
     plan, sigma, b = _setup(dim, n, levels)
-    s = MultigridSolver(plan, smoother="chebyshev", smoothing_steps=3)
+    s = MultigridSolver(plan, smoother=smoother, smoothing_steps=3)
     coeff = s.coefficients(sigma, 0.0)
     chol = s.coarse_cholesky(sigma, 0.0)
     lam_max = s.estimate_lambda_max(coeff)
@@ -52,6 +53,58 @@ def test_chebyshev_vcycle_contracts(dim, n, levels):
     err = float(jnp.abs(x - x2).max())
     scale = float(jnp.abs(x2).max())
     assert err < 1e-7 * max(scale, 1.0), (err, scale)
+
+
+def test_chebyshev4_pcg_and_sharded_equivalence():
+    """chebyshev4 (fourth-kind recurrence, no cheb_ratio hyperparameter)
+    as a pcg preconditioner, and slab-sharded == single-device with it —
+    the fourth-kind coefficients ride the same lam_max plumbing."""
+    import jax
+    from jax.sharding import Mesh
+    from homogenization_jl_tpu.parallel.slab import SlabShardedMultigridSolver
+
+    plan, sigma, b = _setup(2, 4, 3)
+    s = MultigridSolver(plan, smoother="chebyshev4")
+    coeff = s.coefficients(sigma, 0.0)
+    chol = s.coarse_cholesky(sigma, 0.0)
+    lam_max = s.estimate_lambda_max(coeff)
+    x, hist = s.pcg(b, coeff, chol, lam_max=lam_max, iters=20, tol=1e-10)
+    assert hist[-1] <= 1e-10 * hist[0], hist
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        return
+    # slab equivalence on the validated 3D n=8 slab config
+    # (tests/test_slab_sharding.py), chebyshev4 smoother
+    base = hypercube(3, 8)
+    rng = np.random.default_rng(0)
+    sigma3 = conductivity_per_element(
+        base, generate_conductivity(3, 8, rng), np.zeros(3)
+    )
+    plan3 = build_grid_plan(base, 3, slot_tables=False)
+    b_ref = load_vector(plan3.reference.levels[2])
+    _, _, detJ, _ = affine_maps(base)
+    b3 = detJ[:, None] * b_ref[None, :]
+
+    kw = dict(dtype=jnp.float64, coarse="chol", smoother="chebyshev4")
+    ref = MultigridSolver(plan3, **kw)
+    coeff_r = ref.coefficients(sigma3, 0.0)
+    chol_r = ref.coarse_setup(sigma3, 0.0)
+    lm = ref.estimate_lambda_max(coeff_r)
+    x1, _ = ref.zero_states()
+    for _ in range(4):
+        x1, _ = ref.vcycle(x1, jnp.asarray(b3), coeff_r, chol_r, lam_max=lm)
+
+    mesh = Mesh(np.array(devs[:8]), ("e",))
+    ss = SlabShardedMultigridSolver(plan3, mesh, **kw)
+    coeff_s = ss.coefficients(sigma3, 0.0)
+    chol_s = ss.coarse_setup(sigma3, 0.0)
+    xs, _ = ss.zero_states()
+    bs = ss.put(b3)
+    for _ in range(4):
+        xs, _ = ss.vcycle(xs, bs, coeff_s, chol_s, lam_max=lm)
+    err = float(jnp.abs(jnp.asarray(xs) - x1).max())
+    assert err < 1e-9 * max(float(jnp.abs(x1).max()), 1.0), err
 
 
 def test_diagonal_matches_assembled(dim=2, n=3, levels=3):
