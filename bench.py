@@ -21,7 +21,19 @@ import numpy as np
 REFERENCE_CPU_DOF_PER_S = 2.0e7
 
 
+def _wait_for_tpu_queue(timeout_s: float = 5400.0):
+    """If the staged TPU run queue (scripts/tpu_session.sh, launched by the
+    reconnect watcher) is mid-flight, wait for it: a second concurrent TPU
+    process preallocating HBM crashes the worker for BOTH. No-op when the
+    marker is absent (the normal case)."""
+    marker = "/tmp/TPU_QUEUE_RUNNING"
+    t0 = time.time()
+    while os.path.exists(marker) and time.time() - t0 < timeout_s:
+        time.sleep(30.0)
+
+
 def main():
+    _wait_for_tpu_queue()
     # a second concurrent TPU process preallocating HBM crashes the worker
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
 
@@ -30,6 +42,13 @@ def main():
     enable_compilation_cache()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the host's axon TPU plugin overrides the env var alone, and a
+        # down tunnel then hangs device init — force the backend for CPU
+        # smoke runs (the TPU path is reached by NOT setting the env var)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from homogenization_jl_tpu.fem.local_operators import load_vector
