@@ -87,7 +87,7 @@ use_fmg = os.environ.get("BENCH_FMG", "0") == "1"
 use_pcg = os.environ.get("BENCH_PCG", "0") == "1"
 lam_max = (
     solver.estimate_lambda_max(coeff)
-    if solver.smoother == "chebyshev"
+    if solver.smoother in ("chebyshev", "chebyshev4")
     else None
 )
 history = []

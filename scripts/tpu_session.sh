@@ -40,6 +40,10 @@ echo "=== N=46 (566M) retry with bf16 chebyshev directions (ceiling attempt) ===
 BENCH_N=46 BENCH_SMOOTHER=chebyshev BENCH_DIRECTION_DTYPE=bfloat16 \
   timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_n46_bf16dir.log 2>&1
 echo "bench n46 exit=$? (OOM expected if the bf16 directions don't close the 1.57G gap)"
+echo "=== N=46 with the platform allocator (fragmentation was 5.18G of the miss) ==="
+XLA_PYTHON_CLIENT_ALLOCATOR=platform BENCH_N=46 BENCH_SMOOTHER=chebyshev \
+  timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_n46_platform.log 2>&1
+echo "bench n46 platform exit=$?"
 echo "=== mixed-precision PCG at scale: f64 depth at mostly-f32 cost ==="
 timeout 5400 python -u scripts/run_mixed_pcg.py 24 5 30 1e-10 > /tmp/tpu_runs/mixed_pcg24.log 2>&1
 echo "mixed pcg exit=$?"
