@@ -377,6 +377,23 @@ def test_lattice_sharded_driver_matches_single():
     assert abs(s8 - s1) < 1e-9 * abs(s1), (s1, s8)
 
 
+def test_sharded_checkpoint_resume(tmp_path):
+    """checkpoint_dir + device_mesh compose: resuming a slab-sharded
+    lattice run from its step-0 file reproduces the uninterrupted sharded
+    sigma (the sharded flagship's recovery story for multi-hour runs)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    kwargs = dict(dim=2, refinements=1, tolerance=1e-4, seed=31,
+                  geometry="lattice", lattice_order="cube", device_mesh=mesh)
+    full = checkerboard_homogenization(2, checkpoint_dir=str(tmp_path), **kwargs)
+    resumed = checkerboard_homogenization(
+        2, resume_from=str(tmp_path / "step_0.npz"), **kwargs
+    )
+    assert resumed == full
+
+
 @pytest.mark.parametrize("geometry", ["ordered", "lattice"])
 def test_driver_inner_pcg_matches_vcycle(geometry):
     """inner="pcg" (V-cycle-preconditioned CG inner solves under the same
