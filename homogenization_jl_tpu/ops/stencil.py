@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,7 +131,13 @@ def lattice_weights(coeff, stack0, st: LatticeStencil):
     c3 = _coeff_lattice(coeff, st).reshape((st.ept,) + (n,) * d + (-1,))
     W = jnp.zeros((len(st.deltas),) + (n + 1,) * d, dtype=coeff.dtype)
     for t, i, j, k in st.entries:
-        s = c3[t] @ stack0[:, i, j]  # [n]^d
+        # HIGHEST: the default TPU matmul runs bf16 multiplies, which would
+        # put ~1e-3 relative error into the coarse operator this docstring
+        # promises is exactly the assembled base matrix
+        s = jnp.einsum(
+            "...p,p->...", c3[t], stack0[:, i, j],
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [n]^d
         idx = (k,) + tuple(
             slice(a, a + n) for a in st.corner[t][i]
         )

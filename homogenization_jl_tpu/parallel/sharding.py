@@ -318,7 +318,7 @@ class ShardedMultigridSolver:
         self.interior_idx = dev(plan.interior_base_nodes.astype(np.int32), P())
         self._inner = inner
 
-        self._power_fn = None
+        self._power_fn = {}
         self._vcycle = jax.jit(self._make_vcycle())
 
     # -- coefficients / coarse factor (host) ------------------------------ #
@@ -943,12 +943,14 @@ class ShardedMultigridSolver:
             self._fmg_cache[nu] = self._make_fmg(nu)
         return self._fmg_cache[nu](b, *self._common_args(coeff, chol, lam_max))
 
-    def estimate_lambda_max(self, coeff, iters: int = 30, seed: int = 0):
-        """Sharded power iteration for lambda_max(D^{-1} A) at the finest
-        level: local apply/combine per shard, psum-reduced dots, one jitted
-        shard_map fori_loop (mirrors MultigridSolver.estimate_lambda_max)."""
-        k = self.nlevels - 1
-        if self._power_fn is None:
+    def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
+        """Sharded power iteration for lambda_max(D^{-1} A) at level k
+        (default finest): local apply/combine per shard, psum-reduced dots,
+        one jitted shard_map fori_loop (mirrors
+        MultigridSolver.estimate_lambda_max; the (k, iters) cache key keeps
+        estimate_lambda_max_levels and iters overrides honest)."""
+        k = self.nlevels - 1 if k is None else k
+        if (k, iters) not in self._power_fn:
             statics = self._level_statics(k)
 
             def body_fn(coeff, v, valid, *level_arrays):
@@ -982,7 +984,7 @@ class ShardedMultigridSolver:
                 out_specs=P(),
                 check_vma=False,
             )
-            self._power_fn = jax.jit(
+            self._power_fn[(k, iters)] = jax.jit(
                 lambda coeff, v: smapped(
                     coeff, v, self.valid_mask, self._level_args(k)
                 )
@@ -993,7 +995,19 @@ class ShardedMultigridSolver:
                 self._np_dtype
             )
         )
-        return float(self._power_fn(coeff, v0)) * 1.15
+        return float(self._power_fn[(k, iters)](coeff, v0)) * 1.15
+
+    def estimate_lambda_max_levels(self, coeff, iters: int = 30, seed: int = 0):
+        """Per-level lam_max array (mirrors
+        MultigridSolver.estimate_lambda_max_levels; this class is not a
+        subclass, so the surface is restated here)."""
+        return jnp.asarray(
+            [
+                self.estimate_lambda_max(coeff, k, iters=iters, seed=seed)
+                for k in range(self.nlevels)
+            ],
+            dtype=self.dtype,
+        )
 
     def residual_norm(self, r, k=None):
         k = self.nlevels - 1 if k is None else k

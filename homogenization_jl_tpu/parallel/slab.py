@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.interfaces import copy_to_base
 from ..ops.plan import GridPlan
 from ..ops.structured import combine_structured_slab, constrain_structured_slab
-from ..solver.multigrid import CHEBYSHEV_SMOOTHERS, MultigridSolver
+from ..solver.multigrid import MultigridSolver
 
 AXIS = "e"
 
@@ -190,7 +190,11 @@ class SlabShardedMultigridSolver(MultigridSolver):
         c3 = coeff.reshape((Wp,) + tail_n + (ept, -1))
         Wl = jnp.zeros((K, Wp + 1) + (n + 1,) * (d - 1), coeff.dtype)
         for t, i, j, k in st.entries:
-            s = c3[..., t, :] @ stack0[:, i, j]
+            # HIGHEST for the same reason as ops/stencil.py::lattice_weights
+            s = jnp.einsum(
+                "...p,p->...", c3[..., t, :], stack0[:, i, j],
+                precision=jax.lax.Precision.HIGHEST,
+            )
             Wl = Wl.at[(k,) + local_slice(st.corner[t][i])].add(s)
         Wfull = jax.lax.psum(
             jax.lax.dynamic_update_slice(
@@ -231,28 +235,34 @@ class SlabShardedMultigridSolver(MultigridSolver):
 
     # -- setup-time helpers (wrap their own shard_map) ---------------------- #
     def _diag_global(self, coeff0):
-        d_ref = jnp.diagonal(self.levels[0].stack, axis1=1, axis2=2)
+        # cached: coarse_setup calls this once per (sigma, lam), and the
+        # lattice driver halves lambda every outer step — rebuilding the
+        # shard_map program each call would retrace + recompile per step
+        if "diag_global" not in self._combine_sm:
+            d_ref = jnp.diagonal(self.levels[0].stack, axis1=1, axis2=2)
 
-        def body(coeff, elements):
-            d = jnp.einsum("ep,pn->en", coeff, d_ref)
-            return self._to_global(d, elements)
+            def body(coeff, elements):
+                d = jnp.einsum("ep,pn->en", coeff, d_ref)
+                return self._to_global(d, elements)
 
-        fn = jax.jit(
-            jax.shard_map(
-                body,
-                mesh=self.mesh,
-                in_specs=(P(AXIS, None), P(AXIS, None)),
-                out_specs=P(),
-                check_vma=False,
+            self._combine_sm["diag_global"] = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(P(AXIS, None), P(AXIS, None)),
+                    out_specs=P(),
+                    check_vma=False,
+                )
             )
-        )
-        return fn(coeff0, self.base_elements)
+        return self._combine_sm["diag_global"](coeff0, self.base_elements)
 
     def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
         """Sharded power iteration for lambda_max(D^{-1}A) at level k: one
         jitted shard_map fori_loop with psum dots."""
         k = self.nlevels - 1 if k is None else k
-        if k not in self._power_sm:
+        # key by (k, iters): the fori_loop bound is baked into the closure,
+        # so a later call with a different iters must not reuse the program
+        if (k, iters) not in self._power_sm:
 
             def power(coeff, v, Ls):
                 d = self.diagonal(coeff, k, Ls)
@@ -276,7 +286,7 @@ class SlabShardedMultigridSolver(MultigridSolver):
                 )
                 return lam
 
-            self._power_sm[k] = jax.jit(
+            self._power_sm[(k, iters)] = jax.jit(
                 jax.shard_map(
                     power,
                     mesh=self.mesh,
@@ -291,7 +301,7 @@ class SlabShardedMultigridSolver(MultigridSolver):
                 self._np_dtype
             )
         )
-        lam = self._power_sm[k](coeff, v0, tuple(self.levels))
+        lam = self._power_sm[(k, iters)](coeff, v0, tuple(self.levels))
         return float(lam) * 1.15
 
     # -- jitted V-cycle ----------------------------------------------------- #
@@ -311,26 +321,6 @@ class SlabShardedMultigridSolver(MultigridSolver):
             ),
             out_specs=(state, state),
             check_vma=False,
-        )
-
-    def vcycle(self, x, b, coeff, chol=None, lam_max=None, Ls=None, interior=None):
-        if chol is None:
-            assert self.coarse_kind not in ("chol", "inv", "mg"), (
-                "pass coarse_setup(sigma, lam) as chol"
-            )
-            chol = jnp.zeros((0, 0), dtype=self.dtype)
-        if self.smoother in CHEBYSHEV_SMOOTHERS:
-            assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
-        lam_max = jnp.asarray(0.0 if lam_max is None else lam_max, self.dtype)
-        return self._vcycle(
-            x,
-            b,
-            coeff,
-            chol,
-            tuple(self.levels) if Ls is None else tuple(Ls),
-            self.base_elements,
-            self._interior_payload() if interior is None else interior,
-            lam_max,
         )
 
     def _pcg_programs(self):
@@ -395,32 +385,42 @@ class SlabShardedMultigridSolver(MultigridSolver):
         override is what makes the inherited one-call solve() work on the
         slab solver."""
         top = self.nlevels - 1
-        key = "init_resid"
+        # x=None means r = b: skip the fine-level apply entirely (the most
+        # expensive single kernel) instead of materializing zeros for it
+        key = "init_resid" if x is not None else "init_resid_b0"
         if key not in self._combine_sm:
 
-            def body(x, b, coeff, Ls):
+            def body_x(x, b, coeff, Ls):
                 r = b - self._apply_op(x, coeff, top, Ls)
                 rc = self._combine_constrained(r, top, Ls)
                 rr = rc * Ls[top].first_copy_mask
                 return jnp.sqrt(self._vdot(rr, rr))
 
+            def body_b0(b, Ls):
+                rc = self._combine_constrained(b, top, Ls)
+                rr = rc * Ls[top].first_copy_mask
+                return jnp.sqrt(self._vdot(rr, rr))
+
+            if x is not None:
+                body, specs = body_x, (
+                    P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                    self._ls_specs(),
+                )
+            else:
+                body, specs = body_b0, (P(AXIS, None), self._ls_specs())
             self._combine_sm[key] = jax.jit(
                 jax.shard_map(
                     body,
                     mesh=self.mesh,
-                    in_specs=(
-                        P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                        self._ls_specs(),
-                    ),
+                    in_specs=specs,
                     out_specs=P(),
                     check_vma=False,
                 )
             )
+        Ls_t = tuple(self.levels) if Ls is None else tuple(Ls)
         if x is None:
-            x = jnp.zeros_like(b)
-        return self._combine_sm[key](
-            x, b, coeff, tuple(self.levels) if Ls is None else tuple(Ls)
-        )
+            return self._combine_sm[key](b, Ls_t)
+        return self._combine_sm[key](x, b, coeff, Ls_t)
 
     def put(self, a, spec=None):
         """Place a global element-leading array with the slab sharding."""

@@ -1082,6 +1082,11 @@ class MultigridSolver:
             chol = jnp.zeros((0, 0), dtype=self.dtype)
         if self.smoother in CHEBYSHEV_SMOOTHERS:
             assert lam_max is not None, "pass lam_max=estimate_lambda_max(coeff)"
+        # 0.0 placeholder keeps the program signature uniform (only the
+        # chebyshev smoothers read it; fmg does the same) — and lets the
+        # slab solver, whose shard_map in_specs need a concrete array,
+        # inherit this method verbatim
+        lam_max = jnp.asarray(0.0 if lam_max is None else lam_max, self.dtype)
         return self._vcycle(
             x,
             b,
@@ -1407,7 +1412,11 @@ def solve_driver(
     solver all run the SAME driver — one place for the stopping logic and
     its normalization."""
     if method == "auto":
-        method = "fmg+pcg" if solver.smoother in CHEBYSHEV_SMOOTHERS else "fmg"
+        if x is not None:
+            # fmg is a from-scratch initializer — a warm start skips it
+            method = "pcg" if solver.smoother in CHEBYSHEV_SMOOTHERS else "vcycle"
+        else:
+            method = "fmg+pcg" if solver.smoother in CHEBYSHEV_SMOOTHERS else "fmg"
     coeff = solver.coefficients(sigma_el, lam)
     setup = solver.coarse_setup(sigma_el, lam)
     lam_max = (
@@ -1432,6 +1441,13 @@ def solve_driver(
         # already converged: never fall through with x=None
         return (solver.zero_states()[0] if x is None else x), history
     if method in ("fmg", "fmg+pcg"):
+        # fmg rebuilds x from the restricted rhs alone — it would silently
+        # discard a caller's warm start (method="auto" routes x= to
+        # pcg/vcycle above; an explicit fmg request with x= is a mistake)
+        assert x is None, (
+            "method includes 'fmg', which starts from scratch and would "
+            "ignore x=; drop x= or use method='pcg'/'vcycle'"
+        )
         x, r = solver.fmg(b, coeff, setup, lam_max=lam_max)
         history.append(float(solver.residual_norm(r)) / b_norm)
         if verbose:
@@ -1469,6 +1485,10 @@ def mixed_precision_setup(
     lam_max power iteration, the combine multiplicities) once, so repeated
     calls — a warm-up followed by a timed run, or several rhs with one
     conductivity field — don't redo it. Pass the result as ``setup=``."""
+    assert not hasattr(outer, "mesh"), (
+        "mixed-precision PCG drives single-device solvers (sharded combine "
+        "primitives are shard_map-only)"
+    )
     top = outer.nlevels - 1
     coeff_o = outer.coefficients(sigma_el, lam)
     coeff_i = inner.coefficients(sigma_el, lam)
@@ -1541,6 +1561,11 @@ def mixed_precision_pcg(
     lam_max precompute; with ``setup`` given, ``sigma_el`` is unused.
     """
     assert outer.plan is inner.plan, "solvers must share one GridPlan"
+    assert not hasattr(outer, "mesh"), (
+        "mixed_precision_pcg drives single-device solvers: the sharded "
+        "solvers' combine/dot primitives are shard_map-only and cannot run "
+        "under this plain-jit Krylov loop"
+    )
     assert inner.smoother in CHEBYSHEV_SMOOTHERS, (
         "the inner V-cycle must be a linear SPD preconditioner "
         "(smoother='chebyshev'); cg smoothers are nonlinear — measured "
@@ -1568,14 +1593,18 @@ def mixed_precision_pcg(
             )
             return z.astype(outer.dtype)
 
-        @jax.jit
+        # donate the f64 Krylov state off-CPU: three [E, n_local] f64
+        # vectors double-buffered would cost ~4.5 GB extra peak at 190M DOFs
+        donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
+
+        @partial(jax.jit, donate_argnums=donate[:1])
         def init(x, b, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
             r = outer._local_residual(x, b, co_o, top, ls_o)
             z = precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
             rz = outer._vdot(z, r)
             return x, r, z, rz, outer._pcg_rnorm(r, ls_o)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def step(x, r, p, rz, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
             # exact dots without combines: p/z consistent, Ap/r local
             # (see _pcg_step_impl for the identity)

@@ -266,3 +266,44 @@ def test_sharded_solve_matches_single_device(smoother, method):
     E = plan.base.nelements
     err = np.abs(np.asarray(x_s)[:E] - np.asarray(x1)).max()
     assert err < 1e-8 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
+
+
+def test_sharded_per_level_lam_max_and_iters_cache():
+    """estimate_lambda_max_levels on the general-mesh sharded solver: each
+    level's estimate matches the single-device one, the [nlevels] array
+    drives the V-cycle, and re-estimating with a different ``iters`` does
+    not silently reuse the old program (the fori_loop bound is baked into
+    the closure, so the cache must key on it)."""
+    plan, sigma, b_np = _setup(2, 4, 3)
+    ref = MultigridSolver(
+        plan, dtype=jnp.float64, coarse="chol", smoother="chebyshev"
+    )
+    coeff = ref.coefficients(sigma, 0.0)
+    lm_ref = ref.estimate_lambda_max_levels(coeff)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("e",))
+    sh = ShardedMultigridSolver(
+        plan, mesh, dtype=jnp.float64, coarse="chol", smoother="chebyshev"
+    )
+    coeff_s = sh.coefficients(sigma, 0.0)
+    lm = sh.estimate_lambda_max_levels(coeff_s)
+    assert lm.shape == (plan.nlevels,)
+    assert np.allclose(np.asarray(lm), np.asarray(lm_ref), rtol=1e-9)
+
+    chol_s = sh.coarse_cholesky(sigma, 0.0)
+    x_s, _ = sh.zero_states()
+    b_s = sh.put(b_np)
+    hist = []
+    for _ in range(6):
+        x_s, r_s = sh.vcycle(x_s, b_s, coeff_s, chol_s, lam_max=lm)
+        hist.append(float(sh.residual_norm(r_s)))
+    # ~0.38x/cycle: the per-level array drives the smoother correctly
+    assert hist[-1] < 1e-2 * hist[0], hist
+
+    # iters is honored, not baked: a longer power iteration moves the
+    # (non-converged-at-2) estimate and both programs stay cached
+    l2 = sh.estimate_lambda_max(coeff_s, iters=2, seed=4)
+    l40 = sh.estimate_lambda_max(coeff_s, iters=40, seed=4)
+    assert l2 != l40
+    top = plan.nlevels - 1
+    assert (top, 2) in sh._power_fn and (top, 40) in sh._power_fn
