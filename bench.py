@@ -26,6 +26,8 @@ def _wait_for_tpu_queue(timeout_s: float = 5400.0):
     reconnect watcher) is mid-flight, wait for it: a second concurrent TPU
     process preallocating HBM crashes the worker for BOTH. No-op when the
     marker is absent (the normal case)."""
+    if os.environ.get("HZT_TPU_QUEUE_MEMBER") == "1":
+        return  # we ARE the queue — waiting on our own marker deadlocks
     marker = "/tmp/TPU_QUEUE_RUNNING"
     t0 = time.time()
     while os.path.exists(marker) and time.time() - t0 < timeout_s:
