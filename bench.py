@@ -131,6 +131,15 @@ def main():
 
     x, _ = solver.zero_states()
 
+    # Outer-solve mode for the north-star (iters/sec to 1e-3) measurement:
+    # "vcycle" = plain V-cycle iteration (reference semantics,
+    # src/examples/homogenized_coefficients.jl:269); "pcg" = V-cycle-
+    # preconditioned CG (chebyshev smoother required); "fmg_pcg" = FMG
+    # start + PCG. The DOF/s headline stays the plain V-cycle for metric
+    # continuity across rounds.
+    solve_mode = os.environ.get("BENCH_SOLVE_MODE", "vcycle")
+    max_star = int(os.environ.get("BENCH_MAX_CYCLES", 30))
+
     # Run all V-cycles inside one jitted fori_loop and force a scalar
     # readback: the axon tunnel's block_until_ready does not synchronize and
     # per-dispatch overhead is ~0.5s, so timing individual dispatches lies.
@@ -143,35 +152,120 @@ def main():
     # the output removes one full copy from peak HBM. Each timed() call
     # rebinds x to the returned (donated-into) array. Sub-top level states
     # are in-trace scratch (slim V-cycle interface, round 3).
-    @partial(jax.jit, donate_argnums=(0,))
+    # n is static: the loop carries a [n] per-cycle residual-norm history
+    # (a few floats — the north-star iters-to-tol counts come for free).
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
     def run(x, b, coeff, chol, Ls, base_elements, interior, n):
-        # carry the residual NORM through the loop, not the residual array —
+        # carry residual NORMS through the loop, not the residual array —
         # a loop-carried [E, n_local] buffer is ~1.9 GB at 500M DOFs
         def body(i, state):
-            x, _ = state
+            x, hist = state
             x, r = solver._vcycle_impl(
                 x, b, coeff, chol, Ls, base_elements, interior, lam_max
             )
             rr = r * Ls[-1].first_copy_mask
-            return x, jnp.vdot(rr, rr)
+            return x, hist.at[i].set(jnp.vdot(rr, rr))
 
-        x, rsq = jax.lax.fori_loop(0, n, body, (x, jnp.zeros((), dtype)))
-        return x, jnp.sqrt(rsq)
+        x, hist = jax.lax.fori_loop(
+            0, n, body, (x, jnp.zeros((n,), dtype))
+        )
+        return x, jnp.sqrt(hist)
 
     def timed(n):
         nonlocal x
         t0 = time.perf_counter()
-        x, rn = run(
+        x, hist = run(
             x, b, coeff, chol, Ls, solver.base_elements, interior, n,
         )
-        rn = float(rn)  # host readback = true synchronization
-        return time.perf_counter() - t0, rn
+        hist = np.asarray(hist)  # host readback = true synchronization
+        return time.perf_counter() - t0, hist
 
     timed(1)  # compile + warm (donation: x rebinds each call)
     n1, n2 = 2, 2 + cycles
     t1, _ = timed(n1)
-    t2, rn = timed(n2)
+    t2, hist2 = timed(n2)
+    rn = float(hist2[-1])
     dt = (t2 - t1) / (n2 - n1)
+
+    # ---- north-star: iterations / seconds to ||r||/||b|| < 1e-3 ----------
+    bb = b * Ls[-1].first_copy_mask
+    b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
+
+    def iters_to(history, tol):
+        idx = np.nonzero(np.asarray(history) / b_norm < tol)[0]
+        return int(idx[0]) + 1 if idx.size else None
+
+    star = {"solve_mode": solve_mode}
+    if solve_mode == "vcycle":
+        x0, _ = solver.zero_states()
+        _, hist_star = run(
+            x0, b, coeff, chol, Ls, solver.base_elements, interior, max_star,
+        )
+        hist_star = np.asarray(hist_star)
+        it3, it4 = iters_to(hist_star, 1e-3), iters_to(hist_star, 1e-4)
+        star.update(
+            iters_to_1e3=it3,
+            sec_to_1e3=None if it3 is None else it3 * dt,
+            iters_to_1e4=it4,
+            sec_to_1e4=None if it4 is None else it4 * dt,
+            sec_per_iter=dt,
+        )
+    else:  # "pcg" / "fmg_pcg": jitted fixed-iters PCG loop, fmg optional
+        assert smoother in ("chebyshev", "chebyshev4"), (
+            "BENCH_SOLVE_MODE=pcg/fmg_pcg needs BENCH_SMOOTHER=chebyshev[4]"
+        )
+        flexible = solver.coarse_kind not in ("chol", "inv")
+
+        @partial(jax.jit, static_argnums=(7,))
+        def run_pcg(x, b, coeff, chol, Ls, base_elements, interior, n):
+            x, r, p, rz, rn0 = solver._pcg_init_impl(
+                x, b, coeff, chol, Ls, base_elements, interior, lam_max
+            )
+
+            def body(i, state):
+                x, r, p, rz, hist = state
+                x, r, p, rz, rni = solver._pcg_step_impl(
+                    x, r, p, rz, coeff, chol, Ls, base_elements, interior,
+                    lam_max, flexible,
+                )
+                return x, r, p, rz, hist.at[i].set(rni)
+
+            x, r, p, rz, hist = jax.lax.fori_loop(
+                0, n, body, (x, r, p, rz, jnp.zeros((n,), dtype))
+            )
+            return x, rn0, hist
+
+        fmg_sweeps = 0.0
+        if solve_mode == "fmg_pcg":
+            x0, rf = solver.fmg(b, coeff, chol, lam_max=lam_max)
+            fmg_sweeps = 1.14  # measured fine-V-cycle equivalents (3D, nu=1)
+        else:
+            x0, _ = solver.zero_states()
+        def timed_pcg(n):
+            t0 = time.perf_counter()
+            _, rn0, hist = run_pcg(
+                x0, b, coeff, chol, Ls, solver.base_elements, interior, n,
+            )
+            hist = np.asarray(hist)  # host readback = true sync (axon)
+            return time.perf_counter() - t0, rn0, hist
+
+        timed_pcg(4)  # compile the n=4 program
+        timed_pcg(max_star)  # compile the n=max_star program
+        t4, _, _ = timed_pcg(4)
+        wall_p, rn0, hist_p = timed_pcg(max_star)
+        dt_pcg = (wall_p - t4) / (max_star - 4)
+        it3, it4 = iters_to(hist_p, 1e-3), iters_to(hist_p, 1e-4)
+        fmg_s = fmg_sweeps * dt
+        star.update(
+            iters_to_1e3=it3,
+            sec_to_1e3=None if it3 is None else fmg_s + it3 * dt_pcg,
+            iters_to_1e4=it4,
+            sec_to_1e4=None if it4 is None else fmg_s + it4 * dt_pcg,
+            sec_per_iter=dt_pcg,
+            fmg_start_rel_residual=(
+                float(rn0) / b_norm if solve_mode == "fmg_pcg" else None
+            ),
+        )
 
     value = dofs / dt
     print(
@@ -194,6 +288,7 @@ def main():
                     "smooth_precision": smooth_precision,
                     "device": str(jax.devices()[0]),
                     "residual_norm": rn,
+                    **star,
                 },
             }
         )

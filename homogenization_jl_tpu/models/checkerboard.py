@@ -126,19 +126,34 @@ def lattice_dof_norms(plan, k: int, chunk: int = 100_000) -> np.ndarray:
 def consistent_random(plan, k: int, rng) -> np.ndarray:
     """Random [E, n_local] state, interface-consistent and zero on the
     boundary (reference: rand! + broadcast_interfaces! + apply_constraint!,
-    homogenized_coefficients.jl:246-248). Host-side NumPy so it is identical
-    for the single-device and the sharded driver."""
+    homogenized_coefficients.jl:246-248). Host-side NumPy over the gather
+    (owner) tables, so it is identical for the single-device and the
+    sharded driver AND needs no per-DOF slot tables — the drivers build
+    their plans slot-free (round-3 verdict item 5)."""
     E = plan.base.nelements
     n = plan.n_local(k)
     x = rng.random((E, n))
-    t = plan.levels[k].combine
-    if t.n_groups:
-        flat = t.flat(n)
-        xf = x.reshape(-1)
-        sums = np.zeros(t.n_groups)
-        np.add.at(sums, t.slot_group, xf[flat])
-        xf[flat] = sums[t.slot_group]
-        x = xf.reshape(E, n)
+    gt = plan.levels[k].gather
+    lay = plan.reference.layout[k]
+    assert lay is not None, "consistent_random needs the contiguous layout"
+
+    def sum_scatter(tables, offsets, width):
+        # every owner copy of a shared cell receives the owners' sum;
+        # single-owner (boundary) cells reproduce their own value
+        if tables is None or width == 0 or len(offsets) == 0:
+            return
+        oe, ol, om, gmap = tables
+        offs = np.asarray(offsets, dtype=np.int64)
+        cols = offs[ol.astype(np.int64)][..., None] + np.arange(width)
+        sums = (x[oe[..., None].astype(np.int64), cols] * om[..., None]).sum(
+            axis=1
+        )  # [G, width]
+        for l in range(len(offsets)):
+            x[:, offs[l] : offs[l] + width] = sums[gmap[:, l]]
+
+    sum_scatter(gt.face, lay.face_offsets, lay.npf)
+    sum_scatter(gt.edge, lay.edge_offsets, lay.npe)
+    sum_scatter(gt.corner, lay.corner_cols, 1)
     return x * plan.levels[k].boundary_mask
 
 
@@ -382,7 +397,7 @@ def checkerboard_homogenization(
         export_conductivity("checkerboard", base, sigma_el)
 
     nlevels = refinements + 1
-    plan = build_grid_plan(base, nlevels)
+    plan = build_grid_plan(base, nlevels, slot_tables=False)
 
     def make_solver(plan):
         solver = _make_solver(
@@ -536,7 +551,7 @@ def checkerboard_homogenization(
         center_norms = center_norms[:n_elems]
         sigma_el = sigma_el[:n_elems]
 
-        plan = build_grid_plan(base, nlevels)
+        plan = build_grid_plan(base, nlevels, slot_tables=False)
         solver, to_dev, (area_fn, first_fn, terms_fn, next_rhs_fn) = make_solver(plan)
 
         # slice state, re-apply the (new) boundary condition

@@ -82,86 +82,11 @@ def distribute(u, base_elements):
     return u[base_elements]
 
 
-def combine_rowwise_contig(
-    x, row, lay: dict, n_edge_groups: int, n_corner_groups: int
-):
-    """Row-granular interface combine for the contiguous layout.
-
-    TPU-profiled building blocks only: full-row gathers and full-row
-    scatter-ADDs with unique indices are fast; windowed gathers scalarize
-    (~1000x slower) and scatter-SETs are an order slower. Values are
-    extracted by slicing gathered rows; write-back is (1) zero every
-    interface slot with a static mask, (2) add zero-padded rows carrying the
-    exact group sums — every copy of a shared DOF receives the identical
-    float value (iterative solvers amplify copy drift otherwise).
-
-    All writes run on the *interface column block* ``[iface_start:]`` only
-    (layout: [interior | faces | edges | corners]), then the untouched
-    interior block is concatenated back — measured 2-10x less scatter
-    traffic than full-width rows (edge/corner payloads are 1-15 columns).
-    """
-    i0 = lay["iface_start"]
-    n = x.shape[1]
-    W = n - i0
-    x0 = x
-    head = x[:, :i0]
-    tail = x[:, i0:] * row["keep_tail"]
-
-    def pad_cols(v, start):
-        F = v.shape[0]
-        return jnp.concatenate(
-            [
-                jnp.zeros((F, start - i0), v.dtype),
-                v,
-                jnp.zeros((F, n - start - v.shape[1]), v.dtype),
-            ],
-            axis=1,
-        )
-
-    npf = lay["npf"]
-    fo = lay["face_off"]
-    for key in sorted(row["face_pairs"].keys()):
-        l1, l2 = key
-        e1, e2 = row["face_pairs"][key]
-        o1, o2 = fo[l1], fo[l2]
-        v12 = x0[e1][:, o1 : o1 + npf] + x0[e2][:, o2 : o2 + npf]
-        tail = tail.at[e1].add(pad_cols(v12, o1), unique_indices=True)
-        tail = tail.at[e2].add(pad_cols(v12, o2), unique_indices=True)
-
-    npe = lay["npe"]
-    eo = lay["edge_off"]
-    if n_edge_groups > 0 and npe > 0:
-        vals, grps = [], []
-        for l, (e_l, g_l) in enumerate(row["edge_occ"]):
-            vals.append(x0[e_l][:, eo[l] : eo[l] + npe])
-            grps.append(g_l)
-        V = jnp.concatenate(vals, axis=0)
-        g = jnp.concatenate(grps, axis=0)
-        sums = jax.ops.segment_sum(V, g, num_segments=n_edge_groups)
-        for l, (e_l, g_l) in enumerate(row["edge_occ"]):
-            tail = tail.at[e_l].add(pad_cols(sums[g_l], eo[l]), unique_indices=True)
-
-    cc = lay["corner_cols"]
-    if n_corner_groups > 0:
-        vals, grps = [], []
-        for l, (e_l, g_l) in enumerate(row["corner_occ"]):
-            vals.append(x0[e_l][:, cc[l] : cc[l] + 1])
-            grps.append(g_l)
-        V = jnp.concatenate(vals, axis=0)
-        g = jnp.concatenate(grps)
-        sums = jax.ops.segment_sum(V, g, num_segments=n_corner_groups)
-        for l, (e_l, g_l) in enumerate(row["corner_occ"]):
-            tail = tail.at[e_l].add(pad_cols(sums[g_l], cc[l]), unique_indices=True)
-
-    if i0 == 0:
-        return tail
-    return jnp.concatenate([head, tail], axis=1)
-
-
 def combine_gather_rows(x, gt: dict, lay: dict):
     """Gather-based interface combine at cell-row granularity.
 
-    Improvement over ``combine_gather`` (measured 69.9 -> 10.7 ms at
+    The production combine (supersedes the retired combine_gather /
+    combine_rowwise_contig forms, measured 69.9 -> 10.7 ms at
     [196608, 969] on a v5e): the contiguous layout makes each class span an
     [E, L*W] block, reshapeable to [E*L, W] rows — one row per (element,
     local cell). Owner values are then ONE gather with flat indices
@@ -188,50 +113,6 @@ def combine_gather_rows(x, gt: dict, lay: dict):
             "gmw,gm->gw", rows, om.astype(x.dtype), precision=_PRECISION
         )
         return [sums[gmap].reshape(E, L * width)]  # ONE rebuild gather
-
-    if gt.get("face") is not None:
-        parts += class_blocks(gt["face"], lay["face_off"], lay["npf"])
-    if gt.get("edge") is not None and lay["npe"] > 0:
-        parts += class_blocks(gt["edge"], lay["edge_off"], lay["npe"])
-    if gt.get("corner") is not None:
-        parts += class_blocks(gt["corner"], lay["corner_cols"], 1)
-
-    return jnp.concatenate(parts, axis=1)
-
-
-def combine_gather(x, gt: dict, lay: dict):
-    """Fully gather-based interface combine (zero scatters).
-
-    Two passes of row gathers (TPU scatters cost ~17x more per row):
-      1. per class, per-cell group sums via a masked M-way sum over owner
-         rows (window chosen by the owner's local id with a static select);
-      2. each element's class blocks rebuilt as sums[gmap[:, l]] and
-         concatenated in layout order [interior | faces | edges | corners].
-    Copies of a shared DOF all read the same sums row -> bitwise identical.
-    Single-owner cells reproduce their own value (mask sum), so boundary
-    cells pass through unchanged.
-    """
-    i0 = lay["iface_start"]
-    parts = [x[:, :i0]] if i0 > 0 else []
-
-    def class_blocks(tables, offsets, width):
-        # pre-slice the class super-block so gathers move only this class's
-        # columns (corners: 4-wide rows instead of n_local-wide — 100x+ less
-        # gather traffic and temp memory)
-        oe, ol, om, gmap = tables
-        G, M = oe.shape
-        L = len(offsets)
-        c0 = min(offsets)
-        xc = x[:, c0 : max(offsets) + width]  # static slice
-        acc = jnp.zeros((G, width), x.dtype)
-        for j in range(M):
-            rows = xc[oe[:, j]]  # [G, L*width] row gather
-            sel = jnp.zeros((G, width), x.dtype)
-            for l in range(L):
-                w = rows[:, offsets[l] - c0 : offsets[l] - c0 + width]
-                sel = sel + jnp.where((ol[:, j] == l)[:, None], w, 0)
-            acc = acc + om[:, j : j + 1] * sel
-        return [acc[gmap[:, l]] for l in range(L)]
 
     if gt.get("face") is not None:
         parts += class_blocks(gt["face"], lay["face_off"], lay["npf"])

@@ -57,32 +57,6 @@ class CombineTable:
 
 
 @dataclasses.dataclass(frozen=True)
-class RowCombineTables:
-    """Row-granular interface-combine tables for one level.
-
-    The flat slot form (CombineTable) is exact but costs one scatter/gather
-    *descriptor per scalar* — measured 30x the cost of the element apply on
-    TPU. This form works on whole element rows instead:
-
-      * faces (3D, exactly 2 owners): for each ordered local-face pair
-        (l1, l2), lists of owner elements; the exchange is
-        x[e1] += (x0[e2] @ S_{l2}) @ S_{l1}^T (and symmetrically), with
-        S_l the static [n_local, npf] one-hot column selector — row gathers,
-        tiny MXU matmuls, row scatter-adds; zero per-scalar descriptors.
-      * edges / corners (2..many owners): per local id, occurrence lists with
-        a group id; group sums via ONE segment_sum over [n_occ, npe] rows.
-    """
-
-    face_pairs: dict  # {(l1, l2): (e1 [F], e2 [F])}
-    face_cols: np.ndarray | None  # [n_local_faces, npf]
-    edge_occ: list  # per local edge id: (elements [O], group [O])
-    edge_cols: np.ndarray | None  # [n_local_edges, npe]
-    n_edge_groups: int
-    corner_occ: list  # per corner id: (elements [O], group [O])
-    n_corner_groups: int
-
-
-@dataclasses.dataclass(frozen=True)
 class GatherCombineTables:
     """Fully gather-based combine tables for one level (one class each for
     faces / edges / corners; arrays empty when the class has no interior
@@ -108,7 +82,6 @@ class GatherCombineTables:
 @dataclasses.dataclass(frozen=True)
 class LevelPlan:
     combine: CombineTable
-    rowwise: RowCombineTables
     gather: GatherCombineTables
     boundary_mask: np.ndarray  # [E, n_local] bool: True interior
     first_copy_mask: np.ndarray  # [E, n_local] bool: one copy per fine DOF
@@ -374,13 +347,6 @@ def build_grid_plan(
         # or compare, which bool serves directly
         bmask = np.ones((E, n_local), dtype=bool)
 
-        face_pairs: dict = {}
-        face_cols = None
-        edge_occ: list = []
-        edge_cols = None
-        n_edge_groups = 0
-        corner_occ: list = []
-        n_corner_groups = 0
         gather_tabs = {"face": None, "edge": None, "corner": None}
 
         for name, ltab, lnodes, m in classes:
@@ -409,47 +375,10 @@ def build_grid_plan(
                     nonfirst_e.append(np.repeat(nf_e, m))
                     nonfirst_n.append(lnodes[nf_l].ravel())
 
-            # ---- row-granular form ------------------------------------
             order, starts, counts = tabs["order"], tabs["starts"], tabs["counts"]
             elem_occ, local_occ = tabs["elem"], tabs["local"]
-            shared = counts >= 2
-            sh_starts, sh_counts = starts[shared], counts[shared]
-            if name == "face" and m > 0 and len(sh_starts):
-                assert np.all(sh_counts == 2), "face shared by > 2 elements"
-                o1 = order[sh_starts]
-                o2 = order[sh_starts + 1]
-                e1, l1 = elem_occ[o1], local_occ[o1]
-                e2, l2 = elem_occ[o2], local_occ[o2]
-                for a in range(ltab.shape[0]):
-                    for bb in range(ltab.shape[0]):
-                        sel = (l1 == a) & (l2 == bb)
-                        if sel.any():
-                            face_pairs[(a, bb)] = (
-                                e1[sel].astype(np.int32),
-                                e2[sel].astype(np.int32),
-                            )
-                face_cols = lnodes
-            elif name == "edge" and m > 0 and len(sh_starts):
-                occ = _ranges(sh_starts, sh_counts)
-                grp = np.repeat(np.arange(len(sh_starts)), sh_counts)
-                eo, lo = elem_occ[order[occ]], local_occ[order[occ]]
-                for l in range(ltab.shape[0]):
-                    sel = lo == l
-                    edge_occ.append(
-                        (eo[sel].astype(np.int32), grp[sel].astype(np.int32))
-                    )
-                edge_cols = lnodes
-                n_edge_groups = len(sh_starts)
-            elif name == "corner" and len(sh_starts):
-                occ = _ranges(sh_starts, sh_counts)
-                grp = np.repeat(np.arange(len(sh_starts)), sh_counts)
-                eo, lo = elem_occ[order[occ]], local_occ[order[occ]]
-                for l in range(ltab.shape[0]):
-                    sel = lo == l
-                    corner_occ.append(
-                        (eo[sel].astype(np.int32), grp[sel].astype(np.int32))
-                    )
-                n_corner_groups = len(sh_starts)
+            if name == "face" and m > 0:
+                assert counts.max(initial=0) <= 2, "face shared by > 2 elements"
 
             # ---- gather-based form (over ALL cells of the class) --------
             if m > 0:
@@ -509,20 +438,11 @@ def build_grid_plan(
                 np.concatenate(nonfirst_e), np.concatenate(nonfirst_n)
             ] = 0.0
 
-        rowwise = RowCombineTables(
-            face_pairs=face_pairs,
-            face_cols=face_cols,
-            edge_occ=edge_occ,
-            edge_cols=edge_cols,
-            n_edge_groups=n_edge_groups,
-            corner_occ=corner_occ,
-            n_corner_groups=n_corner_groups,
-        )
         gather = GatherCombineTables(
             face=gather_tabs["face"],
             edge=gather_tabs["edge"],
             corner=gather_tabs["corner"],
         )
-        level_plans.append(LevelPlan(combine, rowwise, gather, bmask, first_mask))
+        level_plans.append(LevelPlan(combine, gather, bmask, first_mask))
 
     return GridPlan(base, ref, level_plans, interior_base)

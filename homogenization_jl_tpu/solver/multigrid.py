@@ -32,10 +32,8 @@ from ..fem.local_operators import build_level_operators, element_coefficients
 from ..ops.apply import element_apply
 from ..ops.interfaces import (
     apply_mask,
-    combine_gather,
     combine_gather_rows,
     combine_interfaces,
-    combine_rowwise_contig,
     copy_to_base,
     distribute,
 )
@@ -61,7 +59,7 @@ class LevelDevice(NamedTuple):
     boundary_mask: jnp.ndarray  # [E, n]
     first_copy_mask: jnp.ndarray  # [E, n]
     P_up: jnp.ndarray | None  # prolongation to this level from below [n_k, n_{k-1}]
-    row: dict  # row-granular combine tables (ops/plan.py RowCombineTables)
+    row: dict  # {"gather": GatherCombineTables on device} (ops/plan.py)
 
 
 class MultigridSolver:
@@ -186,18 +184,16 @@ class MultigridSolver:
         )
 
         # Only the selected combine form's tables go to HBM. At 190M DOFs the
-        # finest-level flat slot tables alone are ~0.8 GB and the rowwise
-        # keep mask another ~0.4 GB — shipping all three forms (as round 1
-        # did) costs more memory than the smoother's live temporaries.
+        # finest-level flat slot tables alone are ~0.8 GB — shipping every
+        # form (as round 1 did) costs more memory than the smoother's live
+        # temporaries. combine="flat" is kept as the counting oracle
+        # (round-3 verdict item 6: rowwise/gather_legacy deleted).
         has_layout = plan.reference.layout is not None
-        use_gather = combine in ("gather", "gather_legacy") and has_layout
-        use_rowwise = combine == "rowwise" and has_layout
-        use_flat = not (use_gather or use_rowwise or combine == "structured")
+        use_gather = combine == "gather" and has_layout
+        use_flat = not (use_gather or combine == "structured")
 
         self.levels: list[LevelDevice] = []
         self.n_groups: list[int] = []
-        self.row_edge_groups: list[int] = []
-        self.row_corner_groups: list[int] = []
         self.row_layout: list[dict] = []
         for k in range(self.nlevels):
             lp = plan.levels[k]
@@ -209,22 +205,6 @@ class MultigridSolver:
             )
             self.n_groups.append(lp.combine.n_groups)
 
-            if use_rowwise:
-                keep = np.ones((plan.base.nelements, n_local), dtype=bool)
-                keep[lp.combine.slot_elem, lp.combine.slot_node] = False
-            else:
-                keep = np.ones((0, 0), dtype=bool)
-            if plan.reference.layout is not None:
-                _lay = plan.reference.layout[k]
-                i0 = int(
-                    min(
-                        list(_lay.face_offsets)
-                        + list(_lay.edge_offsets)
-                        + list(_lay.corner_cols)
-                    )
-                )
-            else:
-                i0 = 0
             def dev_gt(t):
                 if t is None:
                     return None
@@ -236,33 +216,13 @@ class MultigridSolver:
                     jnp.asarray(gmap),
                 )
 
-            rw = lp.rowwise
             row = dict(
-                keep_tail=jnp.asarray(keep[:, i0:]),
                 gather=dict(
                     face=dev_gt(lp.gather.face) if use_gather else None,
                     edge=dev_gt(lp.gather.edge) if use_gather else None,
                     corner=dev_gt(lp.gather.corner) if use_gather else None,
                 ),
-                face_pairs={
-                    key: (jnp.asarray(e1), jnp.asarray(e2))
-                    for key, (e1, e2) in rw.face_pairs.items()
-                }
-                if use_rowwise
-                else {},
-                edge_occ=[
-                    (jnp.asarray(e), jnp.asarray(g)) for e, g in rw.edge_occ
-                ]
-                if use_rowwise
-                else [],
-                corner_occ=[
-                    (jnp.asarray(e), jnp.asarray(g)) for e, g in rw.corner_occ
-                ]
-                if use_rowwise
-                else [],
             )
-            self.row_edge_groups.append(rw.n_edge_groups)
-            self.row_corner_groups.append(rw.n_corner_groups)
             if plan.reference.layout is not None:
                 lay = plan.reference.layout[k]
                 # combine_gather_rows reshapes each class span to [E*L, W]:
@@ -482,16 +442,6 @@ class MultigridSolver:
             return combine_structured(x, self.structured[k], self.row_layout[k])
         if self.combine_kind == "gather" and self.row_layout:
             return combine_gather_rows(x, L.row["gather"], self.row_layout[k])
-        if self.combine_kind == "gather_legacy" and self.row_layout:
-            return combine_gather(x, L.row["gather"], self.row_layout[k])
-        if self.combine_kind == "rowwise" and self.row_layout:
-            return combine_rowwise_contig(
-                x,
-                L.row,
-                self.row_layout[k],
-                self.row_edge_groups[k],
-                self.row_corner_groups[k],
-            )
         return combine_interfaces(x, L.slot_flat, L.slot_group, self.n_groups[k])
 
     def _constrain(self, x, k, Ls=None):

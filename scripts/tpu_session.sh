@@ -2,6 +2,13 @@
 # Sequential TPU runs (ONE process at a time), queued for when the chip is back.
 # Pending hardware runs staged while the TPU tunnel was down (late round 3).
 # Each writes to /tmp/tpu_runs/*.log; results go to PERFORMANCE.md/ACCURACY.md.
+#
+# Children must NOT wait on the queue marker they run under (round-3 advisor
+# finding: without this export, every queued bench self-waited on its own
+# marker and timed out).
+export HZT_TPU_QUEUE_MEMBER=1
+touch /tmp/TPU_QUEUE_RUNNING
+trap 'rm -f /tmp/TPU_QUEUE_RUNNING; touch /tmp/TPU_QUEUE_DONE' EXIT
 cd /root/repo
 mkdir -p /tmp/tpu_runs
 echo "=== combine variants microbench at bench scale ==="
