@@ -180,8 +180,13 @@ def main():
         hist = np.asarray(hist)  # host readback = true synchronization
         return time.perf_counter() - t0, hist
 
-    timed(1)  # compile + warm (donation: x rebinds each call)
+    # n is static, so each distinct cycle count is its own program: warm
+    # BOTH timing programs before the measured pair, or their compile times
+    # land inside the timing (round-3 queue: dt went negative for the
+    # never-cached chebyshev programs).
     n1, n2 = 2, 2 + cycles
+    timed(n1)
+    timed(n2)
     t1, _ = timed(n1)
     t2, hist2 = timed(n2)
     rn = float(hist2[-1])
@@ -262,6 +267,9 @@ def main():
             iters_to_1e4=it4,
             sec_to_1e4=None if it4 is None else fmg_s + it4 * dt_pcg,
             sec_per_iter=dt_pcg,
+            # a PCG iteration sweeps every DOF through the same V-cycle
+            # (+1 fine apply) — this is the production-mode throughput
+            dof_per_s_solve=dofs / dt_pcg,
             fmg_start_rel_residual=(
                 float(rn0) / b_norm if solve_mode == "fmg_pcg" else None
             ),

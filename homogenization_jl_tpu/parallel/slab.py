@@ -356,6 +356,48 @@ class SlabShardedMultigridSolver(MultigridSolver):
 
         return jax.jit(init), {fl: mk(fl) for fl in (False, True)}
 
+    def _mixed_pcg_programs(self, inner):
+        """shard_map-wrapped mixed-precision PCG programs (impls shared
+        with the single-device form via _mixed_pcg_impls): the f64 Krylov
+        state stays slab-sharded, the multiplicity-rescaled downcast runs
+        shard-locally on the halo-extended structured combine, and every
+        dot/norm is a psum. This is the below-f32-floor story for the
+        1e9-DOF sharded regime — the accuracy the reference gets for free
+        from CPU float64 (src/multigrid.jl:46-71), engineered across
+        shards here."""
+        from ..solver.multigrid import _mixed_pcg_impls
+
+        assert isinstance(inner, SlabShardedMultigridSolver), (
+            "the slab outer needs a slab inner (same plan, same mesh)"
+        )
+        assert inner.mesh is self.mesh, "solvers must share one device mesh"
+        init_impl, step_impl = _mixed_pcg_impls(self, inner)
+        state = P(AXIS, None)
+        # (im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i)
+        common = (
+            state, P(AXIS, None), self._ls_specs(), P(AXIS, None), P(),
+            inner._ls_specs(), P(AXIS, None), P(), P(),
+        )
+        init_sm = jax.shard_map(
+            init_impl,
+            mesh=self.mesh,
+            in_specs=(state, state) + common,
+            out_specs=(state, state, state, P(), P()),
+            check_vma=False,
+        )
+        step_sm = jax.shard_map(
+            step_impl,
+            mesh=self.mesh,
+            in_specs=(state, state, state, P()) + common,
+            out_specs=(state, state, state, P(), P()),
+            check_vma=False,
+        )
+        donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
+        return (
+            jax.jit(init_sm, donate_argnums=donate[:1]),
+            jax.jit(step_sm, donate_argnums=donate),
+        )
+
     def _fmg_program(self, nu: int):
         """shard_map-wrapped FMG sweep (impl inherited unchanged)."""
         state = P(AXIS, None)

@@ -1336,6 +1336,18 @@ class MultigridSolver:
 
         return jax.jit(self._pcg_init_impl), {fl: mk(fl) for fl in (False, True)}
 
+    def _mixed_pcg_programs(self, inner):
+        """(init_jit, step_jit) for ``mixed_precision_pcg`` — overridden by
+        the slab solver with shard_map-wrapped versions of the same impls.
+        Donation rationale: three loop-carried [E, n_local] f64 vectors
+        double-buffered would cost ~4.5 GB extra peak at 190M DOFs."""
+        init_impl, step_impl = _mixed_pcg_impls(self, inner)
+        donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
+        return (
+            jax.jit(init_impl, donate_argnums=donate[:1]),
+            jax.jit(step_impl, donate_argnums=donate),
+        )
+
     def combine(self, x, k=None):
         """Interface combine with the solver's configured form (public:
         callers must not reach for level slot tables — only the selected
@@ -1434,25 +1446,67 @@ def mixed_precision_setup(
     solvers' coefficients, the inner coarse setup, the 30-iteration
     lam_max power iteration, the combine multiplicities) once, so repeated
     calls — a warm-up followed by a timed run, or several rhs with one
-    conductivity field — don't redo it. Pass the result as ``setup=``."""
-    assert not hasattr(outer, "mesh"), (
-        "mixed-precision PCG drives single-device solvers (sharded combine "
-        "primitives are shard_map-only)"
+    conductivity field — don't redo it. Pass the result as ``setup=``.
+
+    Works for any matched solver pair: two single-device solvers, or two
+    slab-sharded solvers on one device mesh (everything here goes through
+    the solvers' public, sharding-aware entry points)."""
+    assert type(outer) is type(inner), (
+        "outer and inner must be the same solver kind (both single-device "
+        "or both slab-sharded)"
     )
-    top = outer.nlevels - 1
     coeff_o = outer.coefficients(sigma_el, lam)
     coeff_i = inner.coefficients(sigma_el, lam)
     chol_i = inner.coarse_setup(sigma_el, lam)
     lam_max_i = jnp.asarray(inner.estimate_lambda_max(coeff_i), inner.dtype)
     Ls_o = tuple(outer.levels)
     # 1/multiplicity per slot: combine(ones) counts the duplicates.
-    inv_mult = 1.0 / outer._combine(
-        jnp.ones(outer.zero_states()[0].shape, outer.dtype), top, Ls_o
-    )
+    # zero_states()[0] + 1 (not jnp.ones) keeps the slab sharding; .combine
+    # is the public form (eager single-device, jitted shard_map on the slab).
+    inv_mult = 1.0 / outer.combine(outer.zero_states()[0] + 1.0)
     return (
         inv_mult, coeff_o, Ls_o, coeff_i, chol_i, tuple(inner.levels),
         inner.base_elements, inner._interior_payload(), lam_max_i,
     )
+
+
+def _mixed_pcg_impls(outer: MultigridSolver, inner: MultigridSolver):
+    """The (init, step) bodies of mixed_precision_pcg, written against the
+    solvers' overridable primitives so they are valid both under plain jit
+    (single-device) and inside shard_map (slab solver — every dot/norm goes
+    through ``_vdot``/psum, the combine through the slab's halo form)."""
+    top = outer.nlevels - 1
+
+    def precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o):
+        # re-express at the assembled scale BEFORE the downcast
+        # (mixed_precision_pcg docstring)
+        rs = (outer._combine(r, top, ls_o) * im).astype(inner.dtype)
+        z, _ = inner._vcycle_impl(
+            jnp.zeros(r.shape, inner.dtype), rs,
+            co_i, ch_i, ls_i, els, it_i, lm_i,
+        )
+        return z.astype(outer.dtype)
+
+    def init(x, b, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
+        r = outer._local_residual(x, b, co_o, top, ls_o)
+        z = precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
+        rz = outer._vdot(z, r)
+        return x, r, z, rz, outer._pcg_rnorm(r, ls_o)
+
+    def step(x, r, p, rz, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
+        # exact dots without combines: p/z consistent, Ap/r local
+        # (see _pcg_step_impl for the identity)
+        Ap = outer._constrain(outer._apply_op(p, co_o, top, ls_o), top, ls_o)
+        alpha = outer._safe_div(rz, outer._vdot(p, Ap))
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z = precond(r_new, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
+        rz_new = outer._vdot(z, r_new)
+        num = rz_new - outer._vdot(z, r)  # flexible beta
+        p = z + outer._safe_div(num, rz) * p
+        return x, r_new, p, rz_new, outer._pcg_rnorm(r_new, ls_o)
+
+    return init, step
 
 
 def mixed_precision_pcg(
@@ -1509,12 +1563,20 @@ def mixed_precision_pcg(
     and ``setup=mixed_precision_setup(...)`` lets repeated calls (warm-up
     then timed, or several rhs on one field) skip the coefficient/coarse/
     lam_max precompute; with ``setup`` given, ``sigma_el`` is unused.
+
+    Sharded: pass two ``SlabShardedMultigridSolver`` on the same device
+    mesh — the programs come from the slab's ``_mixed_pcg_programs``
+    override (shard_map-wrapped same impls: the multiplicity-rescaled
+    downcast runs shard-locally on the halo-extended combine, every dot is
+    a psum) and the f64 Krylov state stays slab-sharded end to end.
     """
     assert outer.plan is inner.plan, "solvers must share one GridPlan"
-    assert not hasattr(outer, "mesh"), (
-        "mixed_precision_pcg drives single-device solvers: the sharded "
-        "solvers' combine/dot primitives are shard_map-only and cannot run "
-        "under this plain-jit Krylov loop"
+    assert type(outer) is type(inner), (
+        "outer and inner must be the same solver kind (both single-device "
+        "or both slab-sharded)"
+    )
+    assert getattr(outer, "mesh", None) is getattr(inner, "mesh", None), (
+        "slab solvers must share one jax.sharding.Mesh"
     )
     assert inner.smoother in CHEBYSHEV_SMOOTHERS, (
         "the inner V-cycle must be a linear SPD preconditioner "
@@ -1524,52 +1586,15 @@ def mixed_precision_pcg(
     assert jnp.dtype(outer.dtype).itemsize > jnp.dtype(inner.dtype).itemsize, (
         "outer must run at higher precision than inner"
     )
-    top = outer.nlevels - 1
     if setup is None:
         assert sigma_el is not None, "pass sigma_el or setup="
         setup = mixed_precision_setup(outer, inner, sigma_el, lam)
 
-    cache = outer.__dict__.setdefault("_mixed_pcg_programs", {})
+    cache = outer.__dict__.setdefault("_mixed_pcg_cache", {})
     key = id(inner)
     if key not in cache:
-
-        def precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o):
-            # re-express at the assembled scale BEFORE the downcast
-            # (docstring)
-            rs = (outer._combine(r, top, ls_o) * im).astype(inner.dtype)
-            z, _ = inner._vcycle_impl(
-                jnp.zeros(r.shape, inner.dtype), rs,
-                co_i, ch_i, ls_i, els, it_i, lm_i,
-            )
-            return z.astype(outer.dtype)
-
-        # donate the f64 Krylov state off-CPU: three [E, n_local] f64
-        # vectors double-buffered would cost ~4.5 GB extra peak at 190M DOFs
-        donate = () if jax.default_backend() == "cpu" else (0, 1, 2)
-
-        @partial(jax.jit, donate_argnums=donate[:1])
-        def init(x, b, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
-            r = outer._local_residual(x, b, co_o, top, ls_o)
-            z = precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
-            rz = outer._vdot(z, r)
-            return x, r, z, rz, outer._pcg_rnorm(r, ls_o)
-
-        @partial(jax.jit, donate_argnums=donate)
-        def step(x, r, p, rz, im, co_o, ls_o, co_i, ch_i, ls_i, els, it_i, lm_i):
-            # exact dots without combines: p/z consistent, Ap/r local
-            # (see _pcg_step_impl for the identity)
-            Ap = outer._constrain(outer._apply_op(p, co_o, top, ls_o), top, ls_o)
-            alpha = outer._safe_div(rz, outer._vdot(p, Ap))
-            x = x + alpha * p
-            r_new = r - alpha * Ap
-            z = precond(r_new, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o)
-            rz_new = outer._vdot(z, r_new)
-            num = rz_new - outer._vdot(z, r)  # flexible beta
-            p = z + outer._safe_div(num, rz) * p
-            return x, r_new, p, rz_new, outer._pcg_rnorm(r_new, ls_o)
-
         # hold a strong ref to inner so the id() key cannot be recycled
-        cache[key] = (init, step, inner)
+        cache[key] = (*outer._mixed_pcg_programs(inner), inner)
     init, step, _ = cache[key]
 
     if x is None:
