@@ -1,0 +1,169 @@
+"""Large sharded execution on the virtual CPU mesh (round-4 verdict item 3).
+
+Runs the slab-sharded solver at BASELINE-config-5 scale — the largest
+sharded execution this single-chip environment permits — on an 8-device
+``xla_force_host_platform_device_count`` CPU mesh: K V-cycles + the
+sigma-increment integral at >= 1e8 DOFs, recording the residual history,
+wall time per cycle, and peak RSS. With SLAB_BIG_COMPARE=1 it also runs the
+identical problem on the single-device solver and checks the residual
+history and integral agree at f32 resolution — the "sharded execution with
+single-device-equivalent residuals" evidence at scale (the small-scale
+equivalence is tests/test_slab.py at 1e-9 in f64).
+
+Reference analog: the threads-over-elements parallel apply
+(/root/reference/src/apply_local_operators.jl:40-46) and the interface
+gather-sum-scatter (/root/reference/src/implicit_fine_grid.jl:209-328),
+here across 8 address spaces with one ppermute of edge planes per shard.
+
+Usage: python scripts/run_slab_big.py [n] [levels] [cycles]
+  n=32 levels=5 -> 190,513,152 DOFs global (the bench config, sharded).
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DEV = int(os.environ.get("SLAB_BIG_DEVICES", 8))
+
+if os.environ.get("_HZT_SLAB_BIG_CHILD") != "1":
+    # re-exec: the parent may have initialized jax against the axon TPU
+    # plugin, and the forced CPU device count must be set before import
+    import subprocess
+
+    env = dict(os.environ)
+    env["_HZT_SLAB_BIG_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={N_DEV}"
+    ).strip()
+    raise SystemExit(
+        subprocess.run([sys.executable, "-u"] + sys.argv, env=env).returncode
+    )
+
+from homogenization_jl_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from homogenization_jl_tpu.fem.local_operators import load_vector
+from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
+from homogenization_jl_tpu.models.checkerboard import (
+    conductivity_per_element,
+    generate_conductivity,
+)
+from homogenization_jl_tpu.ops.plan import build_grid_plan
+from homogenization_jl_tpu.parallel.slab import SlabShardedMultigridSolver
+from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+
+def rss_gib():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    nlevels = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    dtype = jnp.float32
+
+    t0 = time.perf_counter()
+    base = hypercube(3, n, order="cube")  # slab requirement: cube-major
+    rng = np.random.default_rng(0)
+    field = generate_conductivity(3, n, rng)
+    sigma = conductivity_per_element(base, field, np.zeros(3))
+    plan = build_grid_plan(base, nlevels, slot_tables=False)
+    dofs = plan.base.nelements * plan.n_local(nlevels - 1)
+    t_plan = time.perf_counter() - t0
+    print(f"plan: E={plan.base.nelements} dofs={dofs:,} ({t_plan:.1f}s)")
+
+    b_ref = load_vector(plan.reference.levels[nlevels - 1])
+    _, _, detJ, _ = affine_maps(base)
+    b_np = (detJ[:, None] * b_ref[None, :]).astype(np.float32)
+    from homogenization_jl_tpu.fem.local_operators import mass_matrix
+
+    mass_np = mass_matrix(plan.reference.levels[nlevels - 1], np.float32)
+
+    def run(solver, tag, put):
+        coeff = solver.coefficients(sigma, 0.0)
+        chol = solver.coarse_setup(sigma, 0.0)
+        x, _ = solver.zero_states()
+        b = put(b_np)
+        hist, per_cycle = [], []
+        for k in range(cycles):
+            t1 = time.perf_counter()
+            x, r = solver.vcycle(x, b, coeff, chol)
+            rn = float(solver.residual_norm(r))
+            per_cycle.append(time.perf_counter() - t1)
+            hist.append(rn)
+            print(f"{tag} cycle {k}: |r|={rn:.6e}  {per_cycle[-1]:.1f}s  "
+                  f"rss={rss_gib():.1f}GiB")
+        # sigma-increment integral (driver quantity: x^T M x * detJ per el)
+        mass = jnp.asarray(mass_np, dtype)
+        detJ_j = put(detJ[:, None].astype(np.float32))[:, 0]
+
+        @jax.jit
+        def integral_of(x):
+            Mx = jnp.einsum("mn,en->em", mass, x)
+            return jnp.vdot(jnp.sum(x * Mx, axis=1), detJ_j)
+
+        integral = float(integral_of(x))
+        return hist, per_cycle, integral
+
+    mesh = Mesh(np.array(jax.devices()[:N_DEV]), ("e",))
+    solver = SlabShardedMultigridSolver(plan, mesh, dtype=dtype)
+    t2 = time.perf_counter()
+    hist_s, per_cycle_s, int_s = run(solver, f"slab[{N_DEV}]", solver.put)
+    wall_s = time.perf_counter() - t2
+
+    out = dict(
+        n=n,
+        levels=nlevels,
+        dofs=dofs,
+        devices=N_DEV,
+        dtype="float32",
+        smoother=solver.smoother,
+        coarse=solver.coarse_kind,
+        residuals_slab=hist_s,
+        sec_per_cycle_slab=per_cycle_s,
+        integral_slab=int_s,
+        wall_s=round(wall_s, 1),
+        peak_rss_gib=round(rss_gib(), 2),
+    )
+
+    if os.environ.get("SLAB_BIG_COMPARE", "0") == "1":
+        single = MultigridSolver(plan, dtype=dtype)
+        hist_1, per_cycle_1, int_1 = run(single, "single", jnp.asarray)
+        rel = [abs(a - c) / a for a, c in zip(hist_1, hist_s)]
+        out.update(
+            residuals_single=hist_1,
+            sec_per_cycle_single=per_cycle_1,
+            integral_single=int_1,
+            residual_rel_err=rel,
+            integral_rel_err=abs(int_s - int_1) / max(abs(int_1), 1e-300),
+        )
+        # f32 resolution: different reduction order across 8 address spaces
+        # (measured ~1e-4 at n=8; compounds slowly over cycles)
+        assert max(rel) < 1e-3, rel
+        assert out["integral_rel_err"] < 1e-3, out["integral_rel_err"]
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

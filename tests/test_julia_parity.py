@@ -11,6 +11,20 @@ Skipped when no `julia` executable (this environment ships none — SURVEY.md
 check is one invocation away:
 
     HOMOGENIZATION_JL=<checkout> python -m pytest tests/test_julia_parity.py
+
+Closing the loop WITHOUT this framework installed (e.g. any machine that
+has Julia): `python scripts/make_parity_fixture.py --out /tmp/parity`
+regenerates the fixtures and re-prints this table; the recorded
+expectations (seed 1234, tolerance 1e-8, f64, generated 2026-08-19) are:
+
+    config (dim=2, n=2, refinements=1) — this framework: sigma = 1.5758748053757337
+      julia --project=<checkout> scripts/julia_parity.jl \
+            /tmp/parity/field_2d_n2.txt 2 2 1 1e-08
+    config (dim=2, n=2, refinements=2) — this framework: sigma = 1.7677523493266987
+      julia --project=<checkout> scripts/julia_parity.jl \
+            /tmp/parity/field_2d_n2.txt 2 2 2 1e-08
+
+Each julia run prints a SIGMA= line that must match at rtol 1e-6.
 """
 
 import os
