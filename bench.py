@@ -92,10 +92,18 @@ def main():
         "BENCH_COARSE",
         "chol" if len(plan.interior_base_nodes) <= 8000 else "mg",
     )
-    # cg_exact: exact-dot CG smoothing, one combine per step, restriction
-    # straight from the maintained local residual (same V-cycle quality as
-    # the parity smoother — tests/test_multigrid.py — at lower cost)
-    smoother = os.environ.get("BENCH_SMOOTHER", "cg_exact")
+    # Outer-solve mode for the north-star (iters/sec to 1e-3) measurement.
+    # Default fmg_pcg = FMG start + V-cycle-preconditioned CG — the
+    # measured-best mode (TPU, round 4: 6 iters / 4.46 s to 1e-3 at 190M
+    # DOFs vs 19 / 12.6 s for the plain-V production iteration of rounds
+    # 1-3; BENCH_SOLVE_MODE=vcycle reproduces the old mode).
+    solve_mode = os.environ.get("BENCH_SOLVE_MODE", "fmg_pcg")
+    # cg_exact: exact-dot CG smoothing, one combine per step (the parity
+    # V-cycle quality at lower cost). The pcg modes require a LINEAR
+    # smoother: chebyshev (dot-free, cheapest cycle: 0.648 vs 0.664 s).
+    smoother = os.environ.get(
+        "BENCH_SMOOTHER", "cg_exact" if solve_mode == "vcycle" else "chebyshev"
+    )
     # mixed precision: direction/inner smoothing applies at bf16x3 ("high"),
     # residuals feeding restriction stay at `precision` (round-3 item;
     # "highest" here = no mixing)
@@ -131,13 +139,10 @@ def main():
 
     x, _ = solver.zero_states()
 
-    # Outer-solve mode for the north-star (iters/sec to 1e-3) measurement:
     # "vcycle" = plain V-cycle iteration (reference semantics,
     # src/examples/homogenized_coefficients.jl:269); "pcg" = V-cycle-
-    # preconditioned CG (chebyshev smoother required); "fmg_pcg" = FMG
-    # start + PCG. The DOF/s headline stays the plain V-cycle for metric
-    # continuity across rounds.
-    solve_mode = os.environ.get("BENCH_SOLVE_MODE", "vcycle")
+    # preconditioned CG; "fmg_pcg" = FMG start + PCG. The DOF/s headline
+    # stays the plain V-cycle timing for metric continuity across rounds.
     max_star = int(os.environ.get("BENCH_MAX_CYCLES", 30))
 
     # Run all V-cycles inside one jitted fori_loop and force a scalar

@@ -122,11 +122,15 @@ def build_sharded_tables(
         pos = np.arange(width, dtype=np.int64)
         flat = (base[:, None] + pos).ravel()
         grp = (base_ids[rsel][:, None] + pos).ravel()
+        # one stable sort by shard instead of n_shards boolean passes
         s_w = np.repeat(s, width)
+        order = np.argsort(s_w, kind="stable")
+        bounds = np.searchsorted(s_w[order], np.arange(n_shards + 1))
+        flat_o, grp_o = flat[order], grp[order]
         for s_i in range(n_shards):
-            m = s_w == s_i
-            cr_g[s_i].append(flat[m])
-            cr_grp[s_i].append(grp[m])
+            sl = slice(bounds[s_i], bounds[s_i + 1])
+            cr_g[s_i].append(flat_o[sl])
+            cr_grp[s_i].append(grp_o[sl])
 
     cat = lambda rows: [
         np.concatenate(r) if r else np.empty(0, dtype=np.int64) for r in rows
@@ -163,32 +167,38 @@ def build_sharded_gather_tables(plan: GridPlan, level: int, n_shards: int, E_pad
         o_elem, o_local, o_mask, gmap = tabs
         L = gmap.shape[1]
         M = o_elem.shape[1]
+        ncells = o_elem.shape[0]
         gmap_pad = np.zeros((E_pad, L), dtype=np.int64)
         gmap_pad[:E] = gmap
-        per_shard = []
-        Gmax = 0
-        for s_i in range(n_shards):
-            lo, hi = s_i * B, (s_i + 1) * B
-            glist = np.unique(gmap_pad[lo:hi].ravel())
-            Gmax = max(Gmax, len(glist))
-            lgmap = np.searchsorted(glist, gmap_pad[lo:hi])
-            oe = o_elem[glist].astype(np.int64)
-            om = (o_mask[glist] > 0) & ((oe >= lo) & (oe < hi))
-            in_shard = (oe >= lo) & (oe < hi)
-            oe = np.where(in_shard, oe - lo, 0)
-            per_shard.append((oe, o_local[glist], om, lgmap))
+        # fully vectorized over shards (the round-3 per-shard np.unique
+        # loop was O(S) host passes — it dominated table build at S=64):
+        # key = shard * ncells + cell; one global unique gives every
+        # shard's sorted touched-cell list (grouped by shard, cells sorted
+        # within — identical to per-shard np.unique), `inv` gives every
+        # entry's rank, and rank - shard_start is the per-shard local id.
+        s_of_row = np.arange(E_pad, dtype=np.int64) // B
+        keys = s_of_row[:, None] * ncells + gmap_pad
+        uk, inv = np.unique(keys, return_inverse=True)
+        us = uk // ncells  # shard of each unique (shard, cell)
+        ucell = uk % ncells
+        start = np.searchsorted(us, np.arange(n_shards, dtype=np.int64))
+        counts = np.diff(np.append(start, len(uk)))
+        Gmax = int(counts.max())
+        GM = (inv.reshape(E_pad, L) - start[s_of_row][:, None]).astype(
+            np.int32
+        ).reshape(n_shards, B, L)
+        pos = np.arange(len(uk), dtype=np.int64) - start[us]
+        lo = (us * B)[:, None]
+        oe_u = o_elem[ucell].astype(np.int64)
+        in_shard = (oe_u >= lo) & (oe_u < lo + B)
         OE = np.zeros((n_shards, Gmax, M), dtype=np.int32)
         OL = np.zeros((n_shards, Gmax, M), dtype=np.int32)
         # bool owner mask: 8x less HBM than the f64 round-1 form; the
         # combine's einsum casts to the state dtype on the fly
         OM = np.zeros((n_shards, Gmax, M), dtype=bool)
-        GM = np.zeros((n_shards, B, L), dtype=np.int32)
-        for s_i, (oe, ol, om, lgmap) in enumerate(per_shard):
-            g = oe.shape[0]
-            OE[s_i, :g] = oe
-            OL[s_i, :g] = ol
-            OM[s_i, :g] = om
-            GM[s_i] = lgmap
+        OE[us, pos] = np.where(in_shard, oe_u - lo, 0)
+        OL[us, pos] = o_local[ucell]
+        OM[us, pos] = (o_mask[ucell] > 0) & in_shard
         out[name] = (OE, OL, OM, GM)
     return out
 

@@ -85,11 +85,18 @@ b_norm = float(jnp.sqrt(jnp.vdot(bb, bb)))
 # + one fine apply). Composes with BENCH_FMG (FMG start, then PCG).
 use_fmg = os.environ.get("BENCH_FMG", "0") == "1"
 use_pcg = os.environ.get("BENCH_PCG", "0") == "1"
-lam_max = (
-    solver.estimate_lambda_max(coeff)
-    if solver.smoother in ("chebyshev", "chebyshev4")
-    else None
-)
+# BENCH_LAM_LEVELS=1: per-level lam_max (each level's chebyshev targets
+# its own spectrum); BENCH_LAM_ITERS: power-iteration count (the 190M bare
+# chebyshev stall diagnostic: a top-spectrum under-estimate amplifies).
+lam_max = None
+if solver.smoother in ("chebyshev", "chebyshev4"):
+    lam_iters = int(os.environ.get("BENCH_LAM_ITERS", 30))
+    if os.environ.get("BENCH_LAM_LEVELS", "0") == "1":
+        lam_max = solver.estimate_lambda_max_levels(coeff, iters=lam_iters)
+        print("per-level lam_max:", [float(v) for v in lam_max])
+    else:
+        lam_max = solver.estimate_lambda_max(coeff, iters=lam_iters)
+        print("lam_max:", lam_max)
 history = []
 t0 = time.perf_counter()
 if use_fmg:

@@ -42,8 +42,15 @@ if os.environ.get("_HZT_SLAB_BIG_CHILD") != "1":
         for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f
     )
+    # at >=1e8 DOFs on a 1-core host the 8 virtual device threads timeshare
+    # one core, so arrival skew at the slab ppermute exceeds XLA:CPU's
+    # default 40 s collective termination timeout (measured: hard abort in
+    # rendezvous.cc) — raise both collective timeouts for this run
     env["XLA_FLAGS"] = (
-        flags + f" --xla_force_host_platform_device_count={N_DEV}"
+        flags
+        + f" --xla_force_host_platform_device_count={N_DEV}"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        + " --xla_cpu_collective_timeout_seconds=7200"
     ).strip()
     raise SystemExit(
         subprocess.run([sys.executable, "-u"] + sys.argv, env=env).returncode

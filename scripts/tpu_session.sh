@@ -67,3 +67,27 @@ echo "=== mixed-precision PCG at scale: f64 depth at mostly-f32 cost ==="
 timeout 5400 python -u scripts/run_mixed_pcg.py 24 5 30 1e-10 \
   > /tmp/tpu_runs/mixed_pcg24.log 2>&1
 echo "mixed pcg exit=$?"
+
+echo "=== DIAGNOSTIC: bare chebyshev with full-precision smoothing (bf16x3 hypothesis) ==="
+BENCH_SMOOTHER=chebyshev BENCH_SMOOTH_PRECISION=highest \
+  timeout 3600 python -u scripts/iters_to_tol.py 32 5 25 \
+  > /tmp/tpu_runs/iters_cheb_highest.log 2>&1
+echo "iters cheb highest exit=$?"
+
+echo "=== DIAGNOSTIC: chebyshev stall — per-level lam_max ==="
+BENCH_SMOOTHER=chebyshev BENCH_LAM_LEVELS=1 \
+  timeout 3600 python -u scripts/iters_to_tol.py 32 5 20 \
+  > /tmp/tpu_runs/iters_cheb_lamlevels.log 2>&1
+echo "iters cheb lamlevels exit=$?"
+
+echo "=== DIAGNOSTIC: chebyshev stall — 200-iteration power method ==="
+BENCH_SMOOTHER=chebyshev BENCH_LAM_ITERS=200 \
+  timeout 3600 python -u scripts/iters_to_tol.py 32 5 20 \
+  > /tmp/tpu_runs/iters_cheb_lam200.log 2>&1
+echo "iters cheb lam200 exit=$?"
+
+echo "=== DIAGNOSTIC: chebyshev stall — cg coarse (isolate the mg coarse) ==="
+BENCH_SMOOTHER=chebyshev BENCH_COARSE=cg \
+  timeout 3600 python -u scripts/iters_to_tol.py 32 5 15 \
+  > /tmp/tpu_runs/iters_cheb_cgcoarse.log 2>&1
+echo "iters cheb cgcoarse exit=$?"

@@ -307,3 +307,64 @@ def test_sharded_per_level_lam_max_and_iters_cache():
     assert l2 != l40
     top = plan.nlevels - 1
     assert (top, 2) in sh._power_fn and (top, 40) in sh._power_fn
+
+
+def test_gather_table_build_vectorized_matches_loop_oracle():
+    """Round-4: build_sharded_gather_tables was vectorized over shards (the
+    per-shard np.unique loop was O(S) host passes). The one-global-unique
+    form must reproduce the loop form exactly — every table, every class,
+    E divisible by S or not."""
+    from homogenization_jl_tpu.parallel.sharding import (
+        build_sharded_gather_tables,
+    )
+
+    def loop_oracle(plan, level, n_shards, E_pad):
+        B = E_pad // n_shards
+        E = plan.base.nelements
+        gt = plan.levels[level].gather
+        out = {}
+        for name in ("face", "edge", "corner"):
+            tabs = getattr(gt, name)
+            if tabs is None:
+                continue
+            o_elem, o_local, o_mask, gmap = tabs
+            L, M = gmap.shape[1], o_elem.shape[1]
+            gmap_pad = np.zeros((E_pad, L), dtype=np.int64)
+            gmap_pad[:E] = gmap
+            per_shard, Gmax = [], 0
+            for s_i in range(n_shards):
+                lo, hi = s_i * B, (s_i + 1) * B
+                glist = np.unique(gmap_pad[lo:hi].ravel())
+                Gmax = max(Gmax, len(glist))
+                lgmap = np.searchsorted(glist, gmap_pad[lo:hi])
+                oe = o_elem[glist].astype(np.int64)
+                om = (o_mask[glist] > 0) & ((oe >= lo) & (oe < hi))
+                in_shard = (oe >= lo) & (oe < hi)
+                oe = np.where(in_shard, oe - lo, 0)
+                per_shard.append((oe, o_local[glist], om, lgmap))
+            OE = np.zeros((n_shards, Gmax, M), dtype=np.int32)
+            OL = np.zeros((n_shards, Gmax, M), dtype=np.int32)
+            OM = np.zeros((n_shards, Gmax, M), dtype=bool)
+            GM = np.zeros((n_shards, B, L), dtype=np.int32)
+            for s_i, (oe, ol, om, lgmap) in enumerate(per_shard):
+                g = oe.shape[0]
+                OE[s_i, :g] = oe
+                OL[s_i, :g] = ol
+                OM[s_i, :g] = om
+                GM[s_i] = lgmap
+            out[name] = (OE, OL, OM, GM)
+        return out
+
+    for dim, n, levels, S in [(3, 3, 3, 8), (2, 5, 3, 4), (3, 2, 2, 16)]:
+        base = hypercube(dim, n)
+        plan = build_grid_plan(base, levels, slot_tables=False)
+        E = plan.base.nelements
+        E_pad = -(-E // S) * S
+        for k in range(levels):
+            got = build_sharded_gather_tables(plan, k, S, E_pad)
+            want = loop_oracle(plan, k, S, E_pad)
+            assert got.keys() == want.keys(), (dim, n, k)
+            for name in want:
+                for a, b in zip(got[name], want[name]):
+                    assert a.dtype == b.dtype, (name, a.dtype, b.dtype)
+                    assert np.array_equal(a, b), (dim, n, k, name)
