@@ -37,10 +37,10 @@ refinements = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
 
-# FLAGSHIP_INNER=pcg: V-cycle-preconditioned-CG inner solves (chebyshev
-# smoother implied) — ~halves iterations per outer step on the CPU study
-# (PERFORMANCE.md "Outer-solve modes"); A/B against the vcycle default
-inner = os.environ.get("FLAGSHIP_INNER", "vcycle")
+# FLAGSHIP_INNER: pcg (default since the round-4 TPU A/B: 7 iters x
+# 0.69 s vs 12 x 0.73 s per outer step, sigma agreement 6e-5 — see
+# ACCURACY.md "Flagship driver") or vcycle (the round-3 configuration)
+inner = os.environ.get("FLAGSHIP_INNER", "pcg")
 t0 = time.perf_counter()
 sigma, trace = checkerboard_homogenization(
     n,

@@ -164,12 +164,14 @@ def main():
             residual_rel_err=rel,
             integral_rel_err=abs(int_s - int_1) / max(abs(int_1), 1e-300),
         )
-        # f32 resolution: different reduction order across 8 address spaces
-        # (measured ~1e-4 at n=8; compounds slowly over cycles)
-        assert max(rel) < 1e-3, rel
-        assert out["integral_rel_err"] < 1e-3, out["integral_rel_err"]
-
     print(json.dumps(out))
+
+    if "residual_rel_err" in out:
+        # f32 resolution: different reduction order across 8 address spaces
+        # (measured ~1e-4 at n=8; compounds slowly over cycles). Checked
+        # after the JSON dump so a long run always keeps its evidence.
+        assert max(out["residual_rel_err"]) < 1e-3, out["residual_rel_err"]
+        assert out["integral_rel_err"] < 1e-3, out["integral_rel_err"]
 
 
 if __name__ == "__main__":
