@@ -125,6 +125,11 @@ def main():
                 # 5e-2 keeps the 12-cycle contraction unchanged vs 1e-6 (round 3;
         # 0.003198 vs 0.003189) — MG only needs a modest coarse solve
         coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 5e-2)),
+        # A/B knobs for the two remaining HIGHEST applies per PCG iteration
+        # (chebyshev path): the restriction residual and the Krylov matvec —
+        # each ~7% of the iteration at 190M if "high" is convergence-neutral
+        restrict_precision=os.environ.get("BENCH_RESTRICT_PRECISION") or None,
+        krylov_precision=os.environ.get("BENCH_KRYLOV_PRECISION") or None,
     )
     coeff = solver.coefficients(sigma, 0.0)
     chol = solver.coarse_setup(sigma, 0.0)

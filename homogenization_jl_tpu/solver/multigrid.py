@@ -91,6 +91,8 @@ class MultigridSolver:
         smooth_precision=None,
         direction_dtype=None,
         cycle: str = "V",
+        restrict_precision=None,
+        krylov_precision=None,
     ):
         self.plan = plan
         self.dtype = dtype
@@ -130,6 +132,29 @@ class MultigridSolver:
         # argument as smooth_precision. None = store at the state dtype.
         self.direction_dtype = (
             jnp.dtype(direction_dtype) if direction_dtype is not None else None
+        )
+        # Precision of the fresh residual that feeds restriction in the
+        # chebyshev V-cycle (one HIGHEST apply per pre-smooth at default).
+        # Inside a PCG preconditioner the V-cycle only needs to stay a fixed
+        # (approximately) linear SPD operator, so "high" (bf16x3) here trades
+        # ~1e-5 relative restriction error for ~7% of the PCG iteration —
+        # convergence neutrality is a TPU-measured property, not assumed
+        # (PERFORMANCE.md round 4). None = apply_precision. cg/cg_exact
+        # smoothers ignore this (their restriction residual is maintained by
+        # the smoother itself).
+        self.restrict_precision = (
+            restrict_precision if restrict_precision is not None
+            else self.apply_precision
+        )
+        # Precision of the outer PCG iteration's fine-level matvec A p
+        # (the residual-recurrence operator). Reduced precision perturbs the
+        # Krylov recurrence itself (not just the preconditioner) — riskier
+        # than restrict_precision; the exact first-copy residual norm in the
+        # pcg history is computed from the recurrence residual, so drift is
+        # observable. None = apply_precision.
+        self.krylov_precision = (
+            krylov_precision if krylov_precision is not None
+            else self.apply_precision
         )
         # cycle="W": recurse twice per level (gamma=2) — stronger coarse
         # correction per cycle at ~2x sub-top cost (the reference has
@@ -976,7 +1001,9 @@ class MultigridSolver:
                 x, r_local = self._smooth_cg_exact(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls)
             else:
                 x, _ = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
-                r_local = self._local_residual(x, bs[k], coeff, k, Ls)
+                r_local = self._local_residual(
+                    x, bs[k], coeff, k, Ls, precision=self.restrict_precision
+                )
             bs[k - 1] = restrict(r_local, Ls[k].P_up)
             if k - 1 > 0:
                 xs[k - 1] = jnp.zeros((E_loc, Ls[k - 1].stack.shape[1]), x.dtype)
@@ -1079,7 +1106,10 @@ class MultigridSolver:
         # weighted by the same consistent value. p and z are consistent
         # (V-cycle output / combined updates); Ap and r stay in local form.
         top = self.nlevels - 1
-        Ap = self._constrain(self._apply_op(p, coeff, top, Ls), top, Ls)
+        Ap = self._constrain(
+            self._apply_op(p, coeff, top, Ls, precision=self.krylov_precision),
+            top, Ls,
+        )
         alpha = self._safe_div(rz, self._vdot(p, Ap))
         x = x + alpha * p
         r_new = r - alpha * Ap
