@@ -953,14 +953,18 @@ class ShardedMultigridSolver:
             self._fmg_cache[nu] = self._make_fmg(nu)
         return self._fmg_cache[nu](b, *self._common_args(coeff, chol, lam_max))
 
-    def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
-        """Sharded power iteration for lambda_max(D^{-1} A) at level k
-        (default finest): local apply/combine per shard, psum-reduced dots,
-        one jitted shard_map fori_loop (mirrors
-        MultigridSolver.estimate_lambda_max; the (k, iters) cache key keeps
-        estimate_lambda_max_levels and iters overrides honest)."""
+    def estimate_lambda_max(
+        self, coeff, k=None, iters: int = 30, seed: int = 0,
+        method: str = "lanczos",
+    ):
+        """Sharded lambda_max(D^{-1} A) estimate at level k (default
+        finest): local apply/combine per shard, psum-reduced dots, one
+        jitted shard_map loop (mirrors MultigridSolver.estimate_lambda_max
+        incl. the lanczos/power methods; the (k, iters, method) cache key
+        keeps estimate_lambda_max_levels and overrides honest)."""
         k = self.nlevels - 1 if k is None else k
-        if (k, iters) not in self._power_fn:
+        key = (k, iters, method)
+        if key not in self._power_fn:
             statics = self._level_statics(k)
 
             def body_fn(coeff, v, valid, *level_arrays):
@@ -974,27 +978,56 @@ class ShardedMultigridSolver:
                 def dot(a, b):
                     return jax.lax.psum(jnp.vdot(a, b), AXIS)
 
-                def step(_, state):
-                    v, _ = state
-                    Av = self._combine(self._apply_op(v, coeff, L) * bm, L, k, valid)
-                    y = dinv * Av
-                    lam = dot(v * w, y) / dot(v * w, v)
-                    nrm = jnp.sqrt(dot(y * w, y))
-                    return y / jnp.where(nrm == 0, 1.0, nrm), lam
+                def matvec(u):
+                    return dinv * self._combine(
+                        self._apply_op(u, coeff, L) * bm, L, k, valid
+                    )
 
-                _, lam = jax.lax.fori_loop(
-                    0, iters, step, (v, jnp.zeros((), v.dtype))
+                if method == "power":
+
+                    def step(_, state):
+                        v, _ = state
+                        y = matvec(v)
+                        lam = dot(v * w, y) / dot(v * w, v)
+                        nrm = jnp.sqrt(dot(y * w, y))
+                        return y / jnp.where(nrm == 0, 1.0, nrm), lam
+
+                    _, lam = jax.lax.fori_loop(
+                        0, iters, step, (v, jnp.zeros((), v.dtype))
+                    )
+                    return lam
+
+                # D-inner-product Lanczos (see MultigridSolver._lam_body)
+                def ddot(a, b_):
+                    return dot(a * w, d * b_)
+
+                nrm0 = jnp.sqrt(ddot(v, v))
+                v1 = v / jnp.where(nrm0 == 0, 1.0, nrm0)
+
+                def step(carry, _):
+                    v_j, v_prev, beta_prev = carry
+                    u = matvec(v_j)
+                    alpha = ddot(u, v_j)
+                    u = u - alpha * v_j - beta_prev * v_prev
+                    beta = jnp.sqrt(jnp.maximum(ddot(u, u), 0.0))
+                    v_next = u / jnp.where(beta == 0, 1.0, beta)
+                    return (v_next, v_j, beta), (alpha, beta)
+
+                _, (alphas, betas) = jax.lax.scan(
+                    step, (v1, jnp.zeros_like(v1), jnp.zeros((), v.dtype)),
+                    None, length=iters,
                 )
-                return lam
+                # tiny tridiagonal eigensolve runs on host (_lanczos_top)
+                return alphas, betas
 
             smapped = jax.shard_map(
                 body_fn,
                 mesh=self.mesh,
                 in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), self._level_specs(k)),
-                out_specs=P(),
+                out_specs=P() if method == "power" else (P(), P()),
                 check_vma=False,
             )
-            self._power_fn[(k, iters)] = jax.jit(
+            self._power_fn[key] = jax.jit(
                 lambda coeff, v: smapped(
                     coeff, v, self.valid_mask, self._level_args(k)
                 )
@@ -1005,7 +1038,13 @@ class ShardedMultigridSolver:
                 self._np_dtype
             )
         )
-        return float(self._power_fn[(k, iters)](coeff, v0)) * 1.15
+        out = self._power_fn[key](coeff, v0)
+        lam = (
+            float(out)
+            if method == "power"
+            else MultigridSolver._lanczos_top(*out)
+        )
+        return lam * MultigridSolver._LAM_SAFETY[method]
 
     def estimate_lambda_max_levels(self, coeff, iters: int = 30, seed: int = 0):
         """Per-level lam_max array (mirrors

@@ -256,42 +256,25 @@ class SlabShardedMultigridSolver(MultigridSolver):
             )
         return self._combine_sm["diag_global"](coeff0, self.base_elements)
 
-    def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
-        """Sharded power iteration for lambda_max(D^{-1}A) at level k: one
-        jitted shard_map fori_loop with psum dots."""
+    def estimate_lambda_max(
+        self, coeff, k=None, iters: int = 30, seed: int = 0,
+        method: str = "lanczos",
+    ):
+        """Sharded lambda_max(D^{-1}A) estimate at level k: the shared
+        estimator body (MultigridSolver._lam_body — lanczos or power; its
+        dots go through self._vdot, which psums here) wrapped in ONE jitted
+        shard_map loop."""
         k = self.nlevels - 1 if k is None else k
-        # key by (k, iters): the fori_loop bound is baked into the closure,
-        # so a later call with a different iters must not reuse the program
-        if (k, iters) not in self._power_sm:
-
-            def power(coeff, v, Ls):
-                d = self.diagonal(coeff, k, Ls)
-                dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
-                w = Ls[k].first_copy_mask
-                v = self._constrain(self._combine(v, k, Ls), k, Ls)
-
-                def body(_, state):
-                    v, _ = state
-                    Av = self._combine(
-                        self._constrain(self._apply_op(v, coeff, k, Ls), k, Ls),
-                        k, Ls,
-                    )
-                    y = dinv * Av
-                    lam = self._vdot(v * w, y) / self._vdot(v * w, v)
-                    nrm = jnp.sqrt(self._vdot(y * w, y))
-                    return y / jnp.where(nrm == 0, 1.0, nrm), lam
-
-                _, lam = jax.lax.fori_loop(
-                    0, iters, body, (v, jnp.zeros((), v.dtype))
-                )
-                return lam
-
-            self._power_sm[(k, iters)] = jax.jit(
+        # key by (k, iters, method): the loop bound is baked into the
+        # closure, so a later call with different args must not reuse it
+        key = (k, iters, method)
+        if key not in self._power_sm:
+            self._power_sm[key] = jax.jit(
                 jax.shard_map(
-                    power,
+                    self._lam_body(k, iters, method),
                     mesh=self.mesh,
                     in_specs=(P(AXIS, None), P(AXIS, None), self._ls_specs()),
-                    out_specs=P(),
+                    out_specs=P() if method == "power" else (P(), P()),
                     check_vma=False,
                 )
             )
@@ -301,8 +284,9 @@ class SlabShardedMultigridSolver(MultigridSolver):
                 self._np_dtype
             )
         )
-        lam = self._power_sm[(k, iters)](coeff, v0, tuple(self.levels))
-        return float(lam) * 1.15
+        out = self._power_sm[key](coeff, v0, tuple(self.levels))
+        lam = float(out) if method == "power" else self._lanczos_top(*out)
+        return lam * self._LAM_SAFETY[method]
 
     # -- jitted V-cycle ----------------------------------------------------- #
     def _make_vcycle(self):

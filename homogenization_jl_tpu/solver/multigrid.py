@@ -544,35 +544,48 @@ class MultigridSolver:
         d = jnp.einsum("ep,pn->en", coeff, d_ref)
         return self._combine(d, k, Ls)
 
-    def estimate_lambda_max(self, coeff, k=None, iters: int = 30, seed: int = 0):
-        """Power iteration for the largest eigenvalue of D^{-1} A on the
-        constrained, interface-consistent subspace (host helper, one call
-        per coefficient update — like coarse_cholesky). Runs as ONE jitted
-        fori_loop: per-step dispatch costs ~0.5s over the axon tunnel."""
-        k = self.nlevels - 1 if k is None else k
-        rng = np.random.default_rng(seed)
-        v0 = jnp.asarray(
-            rng.standard_normal((self.plan.base.nelements, self.plan.n_local(k))),
-            dtype=self.dtype,
-        )
-        if k not in self._power_jit:
+    # safety margins on the lambda_max estimate: UNDERestimating lets the
+    # Chebyshev polynomial amplify the top modes — measured as a hard
+    # V-cycle stall at 190M DOFs, where 30 power iterations land far enough
+    # below lambda_true that even x1.15 did not cover it (round 4,
+    # PERFORMANCE.md). Lanczos Ritz values converge much faster on the
+    # clustered top spectrum, so a smaller margin suffices.
+    _LAM_SAFETY = {"power": 1.15, "lanczos": 1.1}
 
-            def power(coeff, v, Ls, iters):
-                d = self.diagonal(coeff, k, Ls)
-                dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
-                w = Ls[k].first_copy_mask
-                v = self._constrain(self._combine(v, k, Ls), k, Ls)
+    def _lam_body(self, k, iters, method):
+        """Shared estimator body for lambda_max(D^{-1}A) at level k, written
+        through the overridable primitives (_apply_op/_combine/_constrain/
+        _vdot) so the slab solver can wrap it in shard_map unchanged.
+        Returns est(coeff, v, Ls) -> lam (raw, no safety margin).
+
+        method="lanczos" (default): D-inner-product Lanczos — D^{-1}A is
+        self-adjoint in <u,v>_D = u'Dv, so the recurrence is the plain
+        symmetric one with D-weighted dots, and lambda_max is the top
+        eigenvalue of the [m, m] tridiagonal (eigvalsh inside the program;
+        loss of orthogonality without reorthogonalization only duplicates
+        converged Ritz values, which is harmless for the extremal estimate).
+        method="power": the round-1..3 power iteration (kept for A/Bs).
+        """
+
+        def est(coeff, v, Ls):
+            d = self.diagonal(coeff, k, Ls)
+            dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+            w = Ls[k].first_copy_mask
+            v = self._constrain(self._combine(v, k, Ls), k, Ls)
+
+            def matvec(u):
+                return dinv * self._combine(
+                    self._constrain(self._apply_op(u, coeff, k, Ls), k, Ls),
+                    k, Ls,
+                )
+
+            if method == "power":
 
                 def body(_, state):
                     v, _ = state
-                    Av = self._combine(
-                        self._constrain(self._apply_op(v, coeff, k, Ls), k, Ls),
-                        k,
-                        Ls,
-                    )
-                    y = dinv * Av
-                    lam = jnp.vdot(v * w, y) / jnp.vdot(v * w, v)
-                    nrm = jnp.sqrt(jnp.vdot(y * w, y))
+                    y = matvec(v)
+                    lam = self._vdot(v * w, y) / self._vdot(v * w, v)
+                    nrm = jnp.sqrt(self._vdot(y * w, y))
                     return y / jnp.where(nrm == 0, 1.0, nrm), lam
 
                 _, lam = jax.lax.fori_loop(
@@ -580,11 +593,63 @@ class MultigridSolver:
                 )
                 return lam
 
-            self._power_jit[k] = jax.jit(power, static_argnames="iters")
+            # Lanczos: dots in the D inner product on the first-copy subspace
+            def ddot(a, b_):
+                return self._vdot(a * w, d * b_)
 
-        lam = self._power_jit[k](coeff, v0, tuple(self.levels), iters=iters)
-        return float(lam) * 1.15  # safety margin (underestimating lam_max
-        # lets the highest modes amplify and stalls the V-cycle)
+            nrm0 = jnp.sqrt(ddot(v, v))
+            v = v / jnp.where(nrm0 == 0, 1.0, nrm0)
+
+            def body(carry, _):
+                v_j, v_prev, beta_prev = carry
+                u = matvec(v_j)
+                alpha = ddot(u, v_j)
+                u = u - alpha * v_j - beta_prev * v_prev
+                beta = jnp.sqrt(jnp.maximum(ddot(u, u), 0.0))
+                v_next = u / jnp.where(beta == 0, 1.0, beta)
+                return (v_next, v_j, beta), (alpha, beta)
+
+            _, (alphas, betas) = jax.lax.scan(
+                body, (v, jnp.zeros_like(v), jnp.zeros((), v.dtype)),
+                None, length=iters,
+            )
+            # the [m] tridiagonal coefficients leave the program; the tiny
+            # eigensolve runs on host (the estimator returns a float anyway)
+            return alphas, betas
+
+        return est
+
+    @staticmethod
+    def _lanczos_top(alphas, betas):
+        """Top eigenvalue of the Lanczos tridiagonal (host, numpy). A zero
+        beta (breakdown) just decouples the trailing block — harmless."""
+        a = np.asarray(alphas, np.float64)
+        b_ = np.asarray(betas, np.float64)[:-1]
+        T = np.diag(a) + np.diag(b_, 1) + np.diag(b_, -1)
+        return float(np.linalg.eigvalsh(T)[-1])
+
+    def estimate_lambda_max(
+        self, coeff, k=None, iters: int = 30, seed: int = 0,
+        method: str = "lanczos",
+    ):
+        """Estimate the largest eigenvalue of D^{-1} A on the constrained,
+        interface-consistent subspace (host helper, one call per coefficient
+        update — like coarse_cholesky). Runs as ONE jitted loop: per-step
+        dispatch costs ~0.5s over the axon tunnel. See _lam_body for the
+        two methods; the returned value includes the method's safety
+        margin."""
+        k = self.nlevels - 1 if k is None else k
+        rng = np.random.default_rng(seed)
+        v0 = jnp.asarray(
+            rng.standard_normal((self.plan.base.nelements, self.plan.n_local(k))),
+            dtype=self.dtype,
+        )
+        key = (k, iters, method)
+        if key not in self._power_jit:
+            self._power_jit[key] = jax.jit(self._lam_body(k, iters, method))
+        out = self._power_jit[key](coeff, v0, tuple(self.levels))
+        lam = float(out) if method == "power" else self._lanczos_top(*out)
+        return lam * self._LAM_SAFETY[method]
 
     def estimate_lambda_max_levels(self, coeff, iters: int = 30, seed: int = 0):
         """Per-level lam_max array: anywhere a scalar ``lam_max`` is
@@ -603,7 +668,9 @@ class MultigridSolver:
     def _smooth_chebyshev(self, x, b, coeff, lam_max, *, k, steps, Ls=None):
         """Jacobi-preconditioned Chebyshev smoother: no dot products at all
         (no cross-chip reductions, and none of the CG smoother's
-        duplicated-DOF dot inexactness). Returns (x, r).
+        duplicated-DOF dot inexactness). Returns (x, r_loc) with the
+        residual in LOCAL (duplicated-contribution) form, maintained
+        incrementally — the V-cycle restricts it directly.
 
         smoother="chebyshev": classic first-kind three-term recurrence on
         D^{-1}A over [lam_max/cheb_ratio, lam_max].
@@ -625,33 +692,39 @@ class MultigridSolver:
 
         structured = L.boundary_mask.size == 0
 
-        def residual(x, precision=None):
-            if structured:
-                return self._combine_constrained(
-                    b - self._apply_op(x, coeff, k, Ls, precision=precision),
-                    k, Ls,
-                )
-            return self._combine(
-                self._local_residual(x, b, coeff, k, Ls, precision=precision),
-                k, Ls,
-            )
-
-        # inner residuals drive only the polynomial update — run them at the
-        # (possibly reduced) smoothing precision; the exit residual feeds
-        # restriction and stays at full apply precision
+        # Entry residual at full apply precision; inner updates are
+        # INCREMENTAL on the direction applies (r_loc -= A p), exactly like
+        # _smooth_cg_exact. Under mixed precision this is load-bearing, not
+        # stylistic: recomputing r = b - A x at bf16x3 each step injects an
+        # error ~eps_bf16x3 * ||A|| * ||x|| — proportional to the ACCUMULATED
+        # iterate, which measured as a hard stall at 1.06x the initial
+        # residual at 190M DOFs on TPU (full-precision smoothing converged;
+        # PERFORMANCE.md round 4). The incremental form's error scales with
+        # ||p|| (the shrinking update), and the fresh full-precision entry
+        # residual re-bounds any drift once per smooth. It also hands the
+        # V-cycle a maintained LOCAL residual, eliminating the separate
+        # restriction apply (one HIGHEST apply per pre-smooth).
+        if structured:
+            r_loc = b - self._apply_op(x, coeff, k, Ls)
+        else:
+            r_loc = self._local_residual(x, b, coeff, k, Ls)
         sp = self.smooth_precision
         dd = self.direction_dtype
         store = (lambda v: v.astype(dd)) if dd is not None else (lambda v: v)
         load = (lambda v: v.astype(x.dtype)) if dd is not None else (lambda v: v)
-        r = residual(x, sp)
-        z = dinv * r
+
+        def Ap_local(pf):
+            Ap = self._apply_op(pf, coeff, k, Ls, precision=sp)
+            return Ap if structured else self._constrain(Ap, k, Ls)
+
+        z = dinv * self._combine_constrained(r_loc, k, Ls)
         p = store(((4.0 / 3.0) / lam_max if fourth else 1.0 / theta) * z)
         x = x + load(p)
         sigma = theta / delta
         rho = 1.0 / sigma
         for j in range(2, steps + 1):
-            r = residual(x, sp)
-            z = dinv * r
+            r_loc = r_loc - Ap_local(load(p))
+            z = dinv * self._combine_constrained(r_loc, k, Ls)
             if fourth:
                 # p_j = (2j-3)/(2j+1) p_{j-1} + (8j-4)/((2j+1) lam) z
                 p = store(
@@ -665,8 +738,10 @@ class MultigridSolver:
                 )
                 rho = rho_new
             x = x + load(p)
-        r = residual(x)
-        return x, r
+        # bring r_loc up to date with the final direction; dead code (DCE)
+        # for callers that ignore the returned residual (pcg preconditioner)
+        r_loc = r_loc - Ap_local(load(p))
+        return x, r_loc
 
     def _smooth(self, x, b, coeff, *, k, steps, Ls=None, lam_max=None):
         if self.smoother in CHEBYSHEV_SMOOTHERS:
@@ -977,6 +1052,7 @@ class MultigridSolver:
         """
         top = self.nlevels - 1 if top is None else top
         exact = self.smoother == "cg_exact"
+        cheb = self.smoother in CHEBYSHEV_SMOOTHERS
         E_loc = x_top.shape[0]
         xs = [None] * self.nlevels
         bs = [None] * self.nlevels
@@ -999,6 +1075,9 @@ class MultigridSolver:
                 # reads it directly, skipping the extra local_residual apply
                 # the reference structure pays (src/multigrid.jl:97-102)
                 x, r_local = self._smooth_cg_exact(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls)
+            elif cheb:
+                # the chebyshev smoothers maintain the local residual too
+                x, r_local = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
             else:
                 x, _ = self._smooth(xs[k], bs[k], coeff, k=k, steps=steps, Ls=Ls, lam_max=lam_max)
                 r_local = self._local_residual(
@@ -1013,8 +1092,13 @@ class MultigridSolver:
                 # trace size grows 2^depth — fine at practical level counts
                 descend(k - 1)
             x = prolong_add(x, xs[k - 1], Ls[k].P_up)
-            if exact:
-                x, r_local = self._smooth_cg_exact(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
+            if exact or cheb:
+                smooth = (
+                    (lambda *a, **kw: self._smooth_cg_exact(*a, **kw))
+                    if exact
+                    else (lambda *a, **kw: self._smooth(*a, **kw, lam_max=lam_max))
+                )
+                x, r_local = smooth(x, bs[k], coeff, k=k, steps=steps, Ls=Ls)
                 xs[k] = x
                 # only the finest residual is consumed (combined with the
                 # constraint folded in, for reporting); lower post-smooth

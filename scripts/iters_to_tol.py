@@ -91,12 +91,18 @@ use_pcg = os.environ.get("BENCH_PCG", "0") == "1"
 lam_max = None
 if solver.smoother in ("chebyshev", "chebyshev4"):
     lam_iters = int(os.environ.get("BENCH_LAM_ITERS", 30))
+    # BENCH_LAM_METHOD=power reproduces the round-1..3 estimator (the
+    # 30-iteration power method whose 190M under-estimate stalled the bare
+    # chebyshev cycle); default is the Lanczos estimator
+    lam_method = os.environ.get("BENCH_LAM_METHOD", "lanczos")
     if os.environ.get("BENCH_LAM_LEVELS", "0") == "1":
         lam_max = solver.estimate_lambda_max_levels(coeff, iters=lam_iters)
         print("per-level lam_max:", [float(v) for v in lam_max])
     else:
-        lam_max = solver.estimate_lambda_max(coeff, iters=lam_iters)
-        print("lam_max:", lam_max)
+        lam_max = solver.estimate_lambda_max(
+            coeff, iters=lam_iters, method=lam_method
+        )
+        print("lam_max:", lam_max, f"({lam_method})")
 history = []
 t0 = time.perf_counter()
 if use_fmg:

@@ -233,7 +233,11 @@ def test_slab_solve_matches_single_device():
 
     assert h_s[-1] <= 1e-8
     assert len(h1) == len(h_s)
+    # 1e-7 relative: the two solvers compute their own lam_max, whose
+    # Lanczos dots reduce in different orders (psum vs single-device), so
+    # the Chebyshev polynomials differ at f64-rounding level and the
+    # per-iteration histories drift ~1e-8 relative by the last iterate
     for a, b in zip(h1, h_s):
-        assert abs(a - b) < 1e-8 * max(abs(a), 1e-300), (a, b)
+        assert abs(a - b) < 1e-7 * max(abs(a), 1e-300), (a, b)
     err = np.abs(np.asarray(x_s) - np.asarray(x1)).max()
-    assert err < 1e-8 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
+    assert err < 1e-7 * max(np.abs(np.asarray(x1)).max(), 1e-300), err
