@@ -445,7 +445,12 @@ class ShardedMultigridSolver:
     def _smooth_chebyshev(self, x, b, coeff, L, k, valid, steps, lam_max):
         """Jacobi-preconditioned Chebyshev smoother — no dot products, hence
         no cross-chip psum per step (the smoother whose rationale IS
-        multi-chip; single-device form: solver/multigrid.py)."""
+        multi-chip; single-device form: solver/multigrid.py). Returns
+        (x, r_loc) with the residual in LOCAL (pre-combine) form, maintained
+        incrementally (r_loc -= A p): under reduced-precision applies the
+        error scales with ||p|| instead of ||x|| (the recompute form
+        measured a hard 190M stall — PERFORMANCE.md round 4), and the
+        V-cycle restricts the maintained residual directly."""
         bm = L["boundary_mask"]
         d = self._diagonal(coeff, L, k, valid)
         dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
@@ -454,18 +459,15 @@ class ShardedMultigridSolver:
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
 
-        def residual(x):
-            return self._combine((b - self._apply_op(x, coeff, L)) * bm, L, k, valid)
-
-        r = residual(x)
-        z = dinv * r
+        r_loc = (b - self._apply_op(x, coeff, L)) * bm
+        z = dinv * self._combine(r_loc, L, k, valid)
         p = ((4.0 / 3.0) / lam_max if fourth else 1.0 / theta) * z
         x = x + p
         sigma = theta / delta
         rho = 1.0 / sigma
         for j in range(2, steps + 1):
-            r = residual(x)
-            z = dinv * r
+            r_loc = r_loc - self._apply_op(p, coeff, L) * bm
+            z = dinv * self._combine(r_loc, L, k, valid)
             if fourth:
                 p = (
                     ((2.0 * j - 3.0) / (2.0 * j + 1.0)) * p
@@ -476,8 +478,9 @@ class ShardedMultigridSolver:
                 p = rho_new * rho * p + (2.0 * rho_new / delta) * z
                 rho = rho_new
             x = x + p
-        r = residual(x)
-        return x, r
+        # final-direction update: dead code (DCE) when the caller ignores r
+        r_loc = r_loc - self._apply_op(p, coeff, L) * bm
+        return x, r_loc
 
     def _coarse_chol(self, b0, chol, elements):
         u = jnp.zeros((self.n_base_nodes,), dtype=b0.dtype)
@@ -681,10 +684,16 @@ class ShardedMultigridSolver:
             steps = (
                 self.smoothing_steps if k == top else self.coarse_smoothing_steps
             )
+            cheb = self.smoother in CHEBYSHEV_SMOOTHERS
             x, r = self._smooth(xs[k], bs[k], coeff, Ls[k], k, valid, steps, lam_max)
-            r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
-                "boundary_mask"
-            ]
+            if cheb:
+                # the chebyshev smoothers maintain the local residual —
+                # restriction reads it directly (no separate apply)
+                r_local = r
+            else:
+                r_local = (bs[k] - self._apply_op(x, coeff, Ls[k])) * Ls[k][
+                    "boundary_mask"
+                ]
             bs[k - 1] = restrict(r_local, Ls[k]["P_up"])
             if k - 1 > 0:
                 xs[k - 1] = jnp.zeros((B, self.plan.n_local(k - 1)), x_top.dtype)
@@ -692,6 +701,9 @@ class ShardedMultigridSolver:
             x = prolong_add(x, xs[k - 1], Ls[k]["P_up"])
             x, r = self._smooth(x, bs[k], coeff, Ls[k], k, valid, steps, lam_max)
             xs[k] = x
+            if cheb and k == top:
+                # combined convention for the reported finest residual
+                return self._combine(r, Ls[k], k, valid)
             return r
 
         r_fine = descend(top)

@@ -306,7 +306,8 @@ def test_sharded_per_level_lam_max_and_iters_cache():
     l40 = sh.estimate_lambda_max(coeff_s, iters=40, seed=4)
     assert l2 != l40
     top = plan.nlevels - 1
-    assert (top, 2) in sh._power_fn and (top, 40) in sh._power_fn
+    assert (top, 2, "lanczos") in sh._power_fn
+    assert (top, 40, "lanczos") in sh._power_fn
 
 
 def test_gather_table_build_vectorized_matches_loop_oracle():
