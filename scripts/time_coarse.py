@@ -139,10 +139,28 @@ maybe(
     x0,
     reps=10,
 )
+_lam = None
+if solver.smoother in ("chebyshev", "chebyshev4"):
+    _lam = jnp.asarray(solver.estimate_lambda_max(coeff), jnp.float32)
+    maybe(
+        "smoothcheb finest (3 steps, smooth_precision)",
+        lambda v: solver._smooth(
+            jnp.zeros_like(v), v, coeff, k=top, steps=3, Ls=Ls, lam_max=_lam
+        )[0],
+        xt,
+        reps=10,
+    )
+    maybe(
+        "pcgmatvec finest Ap HIGHEST + constrain",
+        lambda v: solver._constrain(
+            solver._apply_op(v, coeff, top, Ls), top, Ls
+        ),
+        xt,
+    )
 maybe(
     "vcycle FULL",
     lambda v: solver._vcycle_impl(
-        jnp.zeros_like(v), v, coeff, aux, Ls, solver.base_elements, m_N
+        jnp.zeros_like(v), v, coeff, aux, Ls, solver.base_elements, m_N, _lam
     )[0],
     xt,
     reps=5,

@@ -49,6 +49,11 @@ BENCH_KRYLOV_PRECISION=high BENCH_DIRECTION_DTYPE=bfloat16 \
   timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_stack.log 2>&1
 echo "stack exit=$?"
 
+echo "=== mixed-precision PCG retry: n=24 (80M) compiled to 17.51G — n=20 (46.5M) ==="
+timeout 5400 python -u scripts/run_mixed_pcg.py 20 5 30 1e-10 \
+  > /tmp/tpu_runs/mixed_pcg20.log 2>&1
+echo "mixed pcg20 exit=$?"
+
 echo "=== N=46 ceiling: bf16 dirs missed by only 93.84M under fmg_pcg ==="
 echo "=== retry as plain V-cycles (no PCG state) on the incremental form ==="
 BENCH_N=46 BENCH_SOLVE_MODE=vcycle BENCH_SMOOTHER=chebyshev \
