@@ -133,15 +133,18 @@ class MultigridSolver:
         self.direction_dtype = (
             jnp.dtype(direction_dtype) if direction_dtype is not None else None
         )
-        # Precision of the fresh residual that feeds restriction in the
-        # chebyshev V-cycle (one HIGHEST apply per pre-smooth at default).
-        # Inside a PCG preconditioner the V-cycle only needs to stay a fixed
-        # (approximately) linear SPD operator, so "high" (bf16x3) here trades
-        # ~1e-5 relative restriction error for ~7% of the PCG iteration —
-        # convergence neutrality is a TPU-measured property, not assumed
-        # (PERFORMANCE.md round 4). None = apply_precision. cg/cg_exact
-        # smoothers ignore this (their restriction residual is maintained by
-        # the smoother itself).
+        # Precision of the smoothers' fresh ENTRY residual — the apply whose
+        # incrementally-maintained result feeds restriction (chebyshev and
+        # cg_exact), or the separate restriction apply (plain cg). Two of
+        # these per level per V-cycle run at apply_precision (HIGHEST) by
+        # default. Inside a PCG preconditioner the V-cycle only needs to stay
+        # a fixed (approximately) linear SPD operator, so "high" (bf16x3)
+        # here trades a ~eps_bf16x3*||A||*||x|| once-per-smooth error for the
+        # HIGHEST-vs-HIGH apply cost difference — convergence neutrality is a
+        # TPU-measured property, not assumed (the bf16x3 PER-STEP residual
+        # recomputation stalled bare cycles at 190M; once-per-smooth under a
+        # PCG outer is the measured A/B, PERFORMANCE.md round 4). None =
+        # apply_precision.
         self.restrict_precision = (
             restrict_precision if restrict_precision is not None
             else self.apply_precision
@@ -705,9 +708,13 @@ class MultigridSolver:
         # V-cycle a maintained LOCAL residual, eliminating the separate
         # restriction apply (one HIGHEST apply per pre-smooth).
         if structured:
-            r_loc = b - self._apply_op(x, coeff, k, Ls)
+            r_loc = b - self._apply_op(
+                x, coeff, k, Ls, precision=self.restrict_precision
+            )
         else:
-            r_loc = self._local_residual(x, b, coeff, k, Ls)
+            r_loc = self._local_residual(
+                x, b, coeff, k, Ls, precision=self.restrict_precision
+            )
         sp = self.smooth_precision
         dd = self.direction_dtype
         store = (lambda v: v.astype(dd)) if dd is not None else (lambda v: v)
@@ -796,15 +803,20 @@ class MultigridSolver:
         Ls_ = Ls or self.levels
         w = Ls_[k].first_copy_mask
         structured = Ls_[k].boundary_mask.size == 0
-        # entry residual at full apply precision: recomputed fresh each
-        # smooth, it bounds the drift the HIGH-precision direction applies
-        # can feed into the restricted residual. Under the structured
-        # constraint the separate constrain passes are skipped — see
-        # _combine_constrained for why that is exact.
+        # entry residual at restrict_precision (default: full apply
+        # precision): recomputed fresh each smooth, it bounds the drift the
+        # HIGH-precision direction applies can feed into the restricted
+        # residual. Under the structured constraint the separate constrain
+        # passes are skipped — see _combine_constrained for why that is
+        # exact.
         if structured:
-            r_loc = b - self._apply_op(x, coeff, k, Ls)
+            r_loc = b - self._apply_op(
+                x, coeff, k, Ls, precision=self.restrict_precision
+            )
         else:
-            r_loc = self._local_residual(x, b, coeff, k, Ls)
+            r_loc = self._local_residual(
+                x, b, coeff, k, Ls, precision=self.restrict_precision
+            )
         rc = self._combine_constrained(r_loc, k, Ls)
         rs = self._vdot(rc * w, rc)
         dd = self.direction_dtype

@@ -35,6 +35,19 @@ BENCH_SMOOTHER=chebyshev BENCH_COARSE_MG_TOL=5e-3 \
   > /tmp/tpu_runs/iters_cheb_incr_mgtol.log 2>&1
 echo "iters cheb incr mgtol exit=$?"
 
+echo "=== restrict_precision=high A/B: the last HIGHEST applies are the ==="
+echo "=== smoother entry residuals; incremental updates already bound the ==="
+echo "=== drift, so HIGH entry may be convergence-neutral under the PCG outer ==="
+BENCH_RESTRICT_PRECISION=high timeout 3600 python -u bench.py \
+  > /tmp/tpu_runs/bench_restrict_high.log 2>&1
+echo "restrict high exit=$?"
+
+echo "=== full stack: krylov high + restrict high + bf16 directions ==="
+BENCH_KRYLOV_PRECISION=high BENCH_RESTRICT_PRECISION=high \
+  BENCH_DIRECTION_DTYPE=bfloat16 timeout 3600 python -u bench.py \
+  > /tmp/tpu_runs/bench_stack2.log 2>&1
+echo "stack2 exit=$?"
+
 echo "=== microtimings: chebyshev production iteration at 190M (part E) ==="
 TC_SMOOTHER=chebyshev TC_SMOOTH_PRECISION=high TC_ORDER=type \
   timeout 3600 python -u scripts/time_coarse.py 32 \

@@ -80,6 +80,12 @@ def test_slab_constraint_matches_mask():
         (2, 8, 4, "chol", "cg_exact", 4),
         (3, 8, 3, "cg", "cg", 8),
         (3, 8, 2, "mg", "cg_exact", 8),
+        # 3D shard width > 1 (W=2): intra-shard planes along the sharded
+        # axis coexist with the ppermute halo — the regime the width-1
+        # (n=8, ndev=8) cases never enter, and the one run_slab_big.py
+        # executes at n=32 (W=4)
+        (3, 8, 3, "chol", "cg_exact", 4),
+        (3, 8, 3, "chol", "cg", 4),
         # d=2 through the slab lattice-stencil coarse path
         (2, 8, 3, "cg", "cg_exact", 4),
     ],
