@@ -48,6 +48,22 @@ BENCH_KRYLOV_PRECISION=high BENCH_RESTRICT_PRECISION=high \
   > /tmp/tpu_runs/bench_stack2.log 2>&1
 echo "stack2 exit=$?"
 
+echo "=== steps2 + krylov high (steps2 measured 3.82 s to 1e-3 alone) ==="
+BENCH_SMOOTH_STEPS=2 BENCH_KRYLOV_PRECISION=high \
+  timeout 3600 python -u bench.py > /tmp/tpu_runs/bench_steps2_khigh.log 2>&1
+echo "steps2+khigh exit=$?"
+
+echo "=== full stack + steps2: the composed candidate default ==="
+BENCH_SMOOTH_STEPS=2 BENCH_KRYLOV_PRECISION=high BENCH_RESTRICT_PRECISION=high \
+  BENCH_DIRECTION_DTYPE=bfloat16 timeout 3600 python -u bench.py \
+  > /tmp/tpu_runs/bench_stack_steps2.log 2>&1
+echo "stack steps2 exit=$?"
+
+echo "=== steps1 (damped-Jacobi-degree smoother under the PCG outer) ==="
+BENCH_SMOOTH_STEPS=1 timeout 3600 python -u bench.py \
+  > /tmp/tpu_runs/bench_steps1.log 2>&1
+echo "steps1 exit=$?"
+
 echo "=== microtimings: chebyshev production iteration at 190M (part E) ==="
 TC_SMOOTHER=chebyshev TC_SMOOTH_PRECISION=high TC_ORDER=type \
   timeout 3600 python -u scripts/time_coarse.py 32 \
