@@ -1,41 +1,110 @@
 """Benchmark: GMG V-cycle DOF throughput on one TPU chip (3D checkerboard).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (a partial
+line with the same fields is flushed as soon as the V-cycle headline is
+measured, so a timeout mid-run still records the throughput; the final line
+supersedes it).
 
 The reference publishes no timing numbers (BASELINE.md), so ``vs_baseline``
-is measured against a documented estimate of the reference's multithreaded
-CPU path: the hot loop is (d^2+1)=10 per-element CSC SpMVs with ~15 nnz/row
-shared reference matrices (src/apply_local_operators.jl:93-133), ~8 finest
-applies per V-cycle with 3 CG smoothing steps -> ~2.4 kFLOP/DOF/cycle, and an
-8-core 3 GHz CPU sustaining ~2 flops/cycle/core on cached SpMV gives
-~2e7 DOF-cycles/s. (Generous to the reference; the point is an order anchor.)
+is measured against a **same-host measurement** of the reference's hot
+pattern (round-4 verdict item 9): the reference's apply is d^2=9 per-element
+CSC SpMVs with shared [969 x 969] reference stiffness pieces
+(src/apply_local_operators.jl:93-133). scipy CSC SpMV with OUR OWN level-5
+tet stiffness pieces (identical sparsity, 82,298 nnz total) sustains
+3.71 GFLOP/s/core f64 on this host in the generous multi-column block form
+(1.03 GFLOP/s in the reference's actual one-column-at-a-time form). Per
+V-cycle: 2*82298/969 = 170 flops/DOF/apply, ~9 finest applies (2x(1 residual
++ 3 CG steps) + 1 restriction residual, src/multigrid.jl:46-119) x 1.143
+coarser-level geometric factor = ~1.75 kFLOP/DOF/cycle. An 8-core CPU at the
+generous block rate: 8 x 3.71e9 / 1.75e3 = **1.7e7 DOF-cycles/s** (the
+one-column form the reference actually runs gives 4.7e6; we anchor on the
+generous bound).
+
+Robust capture (round-4 verdict item 1-2): the top-level process is a thin
+parent that (a) reaps stale TPU-queue markers via utils/queue_guard.py, then
+(b) runs the measurement in a child with a timeout ladder — full size first,
+then degraded to BENCH_N=16 (measures within 2% of the 190M point,
+PERFORMANCE.md) — because the axon plugin does not persist big-program
+executables and a cold remote compile can hang silently for 20+ minutes.
 """
 
 import json
 import os
+import sys
 import time
 from functools import partial
 
 import numpy as np
 
-REFERENCE_CPU_DOF_PER_S = 2.0e7
+# Same-host measured anchor (see module docstring for the derivation).
+REFERENCE_CPU_DOF_PER_S = 1.7e7
 
 
-def _wait_for_tpu_queue(timeout_s: float = 5400.0):
-    """If the staged TPU run queue (scripts/tpu_session.sh, launched by the
-    reconnect watcher) is mid-flight, wait for it: a second concurrent TPU
-    process preallocating HBM crashes the worker for BOTH. No-op when the
-    marker is absent (the normal case)."""
-    if os.environ.get("HZT_TPU_QUEUE_MEMBER") == "1":
-        return  # we ARE the queue — waiting on our own marker deadlocks
-    marker = "/tmp/TPU_QUEUE_RUNNING"
-    t0 = time.time()
-    while os.path.exists(marker) and time.time() - t0 < timeout_s:
-        time.sleep(30.0)
+# --------------------------------------------------------------------------
+# Parent: queue guard + timeout ladder. Never imports jax.
+# --------------------------------------------------------------------------
+
+
+def parent():
+    import subprocess
+
+    from homogenization_jl_tpu.utils.queue_guard import wait_for_tpu_queue
+
+    wait_for_tpu_queue()
+
+    t_attempt = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", 900.0))
+    ladder = [({}, t_attempt)]
+    if int(os.environ.get("BENCH_N", 32)) > 16:
+        ladder.append(({"BENCH_N": "16", "BENCH_DEGRADED": "n16"}, t_attempt))
+    ladder.append(
+        (
+            {
+                "BENCH_N": "16",
+                "BENCH_SOLVE_MODE": "vcycle",
+                "BENCH_SMOOTHER": "cg_exact",
+                "BENCH_DEGRADED": "n16_vcycle",
+            },
+            600.0,
+        )
+    )
+
+    rc = 1
+    for extra, tmo in ladder:
+        env = dict(os.environ)
+        env.update(extra)
+        env["BENCH_CHILD"] = "1"
+        # child inherits stdout/stderr: its partial JSON flush reaches the
+        # driver's tail even if this parent is killed alongside it
+        p = subprocess.Popen([sys.executable, "-u", os.path.abspath(__file__)], env=env)
+        try:
+            rc = p.wait(timeout=tmo)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rc = 124
+            print(
+                f"bench: attempt timed out after {tmo:.0f}s "
+                f"(extra env {extra}); degrading",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
+        if rc == 0:
+            return 0
+        print(
+            f"bench: attempt failed rc={rc} (extra env {extra}); degrading",
+            file=sys.stderr,
+            flush=True,
+        )
+    return rc
+
+
+# --------------------------------------------------------------------------
+# Child: the actual measurement.
+# --------------------------------------------------------------------------
 
 
 def main():
-    _wait_for_tpu_queue()
     # a second concurrent TPU process preallocating HBM crashes the worker
     os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
 
@@ -70,6 +139,7 @@ def main():
     nlevels = int(os.environ.get("BENCH_LEVELS", 5))
     cycles = int(os.environ.get("BENCH_CYCLES", 10))
     precision = os.environ.get("BENCH_PRECISION", "highest")
+    degraded = os.environ.get("BENCH_DEGRADED") or None
     dtype = jnp.float32
 
     # type-major element order: each simplex type's rows are contiguous, so
@@ -122,7 +192,7 @@ def main():
         smoothing_steps=int(os.environ.get("BENCH_SMOOTH_STEPS", 3)),
         coarse_cg_tol=float(os.environ.get("BENCH_COARSE_TOL", 1e-6)),
         coarse_cg_maxiter=int(os.environ.get("BENCH_COARSE_MAXITER", 200)),
-                # 5e-2 keeps the 12-cycle contraction unchanged vs 1e-6 (round 3;
+        # 5e-2 keeps the 12-cycle contraction unchanged vs 1e-6 (round 3;
         # 0.003198 vs 0.003189) — MG only needs a modest coarse solve
         coarse_mg_tol=float(os.environ.get("BENCH_COARSE_MG_TOL", 5e-2)),
         # A/B knobs for the two remaining HIGHEST applies per PCG iteration
@@ -162,9 +232,13 @@ def main():
     # the output removes one full copy from peak HBM. Each timed() call
     # rebinds x to the returned (donated-into) array. Sub-top level states
     # are in-trace scratch (slim V-cycle interface, round 3).
-    # n is static: the loop carries a [n] per-cycle residual-norm history
-    # (a few floats — the north-star iters-to-tol counts come for free).
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
+    # The trip count n is a TRACED scalar over a max-size history buffer
+    # (round-4 verdict item 2): every cycle count shares ONE compiled
+    # program, collapsing the cold-compile surface from two programs per
+    # timing pair to one. The host slices hist[:n] after readback.
+    H = max(2 + cycles, max_star)
+
+    @partial(jax.jit, donate_argnums=(0,))
     def run(x, b, coeff, chol, Ls, base_elements, interior, n):
         # carry residual NORMS through the loop, not the residual array —
         # a loop-carried [E, n_local] buffer is ~1.9 GB at 500M DOFs
@@ -176,9 +250,7 @@ def main():
             rr = r * Ls[-1].first_copy_mask
             return x, hist.at[i].set(jnp.vdot(rr, rr))
 
-        x, hist = jax.lax.fori_loop(
-            0, n, body, (x, jnp.zeros((n,), dtype))
-        )
+        x, hist = jax.lax.fori_loop(0, n, body, (x, jnp.zeros((H,), dtype)))
         return x, jnp.sqrt(hist)
 
     def timed(n):
@@ -187,20 +259,48 @@ def main():
         x, hist = run(
             x, b, coeff, chol, Ls, solver.base_elements, interior, n,
         )
-        hist = np.asarray(hist)  # host readback = true synchronization
+        hist = np.asarray(hist)[:n]  # host readback = true synchronization
         return time.perf_counter() - t0, hist
 
-    # n is static, so each distinct cycle count is its own program: warm
-    # BOTH timing programs before the measured pair, or their compile times
-    # land inside the timing (round-3 queue: dt went negative for the
-    # never-cached chebyshev programs).
     n1, n2 = 2, 2 + cycles
-    timed(n1)
-    timed(n2)
+    timed(n1)  # compiles THE program (n is traced); also warms the chip
     t1, _ = timed(n1)
     t2, hist2 = timed(n2)
     rn = float(hist2[-1])
     dt = (t2 - t1) / (n2 - n1)
+
+    value = dofs / dt
+    detail_common = {
+        "dofs": dofs,
+        "sec_per_vcycle": dt,
+        "base_elements": plan.base.nelements,
+        "n_local": plan.n_local(nlevels - 1),
+        "levels": nlevels,
+        "coarse": coarse,
+        "smoother": smoother,
+        "dtype": "float32",
+        "apply_precision": precision,
+        "smooth_precision": smooth_precision,
+        "device": str(jax.devices()[0]),
+        "residual_norm": rn,
+        "degraded": degraded,
+    }
+    # Flush the headline NOW (round-4 verdict item 1c): if the north-star
+    # section below hangs in a cold remote compile and the driver kills us,
+    # this line is the tail and the throughput is still recorded. The final
+    # print below supersedes it.
+    print(
+        json.dumps(
+            {
+                "metric": "gmg_vcycle_dof_per_s_per_chip_3d_checkerboard",
+                "value": value,
+                "unit": "DOF/s",
+                "vs_baseline": value / REFERENCE_CPU_DOF_PER_S,
+                "detail": {**detail_common, "partial": True},
+            }
+        ),
+        flush=True,
+    )
 
     # ---- north-star: iterations / seconds to ||r||/||b|| < 1e-3 ----------
     bb = b * Ls[-1].first_copy_mask
@@ -216,7 +316,7 @@ def main():
         _, hist_star = run(
             x0, b, coeff, chol, Ls, solver.base_elements, interior, max_star,
         )
-        hist_star = np.asarray(hist_star)
+        hist_star = np.asarray(hist_star)[:max_star]
         it3, it4 = iters_to(hist_star, 1e-3), iters_to(hist_star, 1e-4)
         star.update(
             iters_to_1e3=it3,
@@ -231,7 +331,9 @@ def main():
         )
         flexible = solver.coarse_kind not in ("chol", "inv")
 
-        @partial(jax.jit, static_argnums=(7,))
+        # traced trip count, max-size history: ONE compiled program serves
+        # both the n=4 and n=max_star timing points (round-4 verdict item 2)
+        @jax.jit
         def run_pcg(x, b, coeff, chol, Ls, base_elements, interior, n):
             x, r, p, rz, rn0 = solver._pcg_init_impl(
                 x, b, coeff, chol, Ls, base_elements, interior, lam_max
@@ -246,7 +348,7 @@ def main():
                 return x, r, p, rz, hist.at[i].set(rni)
 
             x, r, p, rz, hist = jax.lax.fori_loop(
-                0, n, body, (x, r, p, rz, jnp.zeros((n,), dtype))
+                0, n, body, (x, r, p, rz, jnp.zeros((max_star,), dtype))
             )
             return x, rn0, hist
 
@@ -256,16 +358,16 @@ def main():
             fmg_sweeps = 1.14  # measured fine-V-cycle equivalents (3D, nu=1)
         else:
             x0, _ = solver.zero_states()
+
         def timed_pcg(n):
             t0 = time.perf_counter()
             _, rn0, hist = run_pcg(
                 x0, b, coeff, chol, Ls, solver.base_elements, interior, n,
             )
-            hist = np.asarray(hist)  # host readback = true sync (axon)
+            hist = np.asarray(hist)[:n]  # host readback = true sync (axon)
             return time.perf_counter() - t0, rn0, hist
 
-        timed_pcg(4)  # compile the n=4 program
-        timed_pcg(max_star)  # compile the n=max_star program
+        timed_pcg(4)  # compiles THE pcg program (n is traced)
         t4, _, _ = timed_pcg(4)
         wall_p, rn0, hist_p = timed_pcg(max_star)
         dt_pcg = (wall_p - t4) / (max_star - 4)
@@ -285,7 +387,6 @@ def main():
             ),
         )
 
-    value = dofs / dt
     print(
         json.dumps(
             {
@@ -293,25 +394,21 @@ def main():
                 "value": value,
                 "unit": "DOF/s",
                 "vs_baseline": value / REFERENCE_CPU_DOF_PER_S,
-                "detail": {
-                    "dofs": dofs,
-                    "sec_per_vcycle": dt,
-                    "base_elements": plan.base.nelements,
-                    "n_local": plan.n_local(nlevels - 1),
-                    "levels": nlevels,
-                    "coarse": coarse,
-                    "smoother": smoother,
-                    "dtype": "float32",
-                    "apply_precision": precision,
-                    "smooth_precision": smooth_precision,
-                    "device": str(jax.devices()[0]),
-                    "residual_norm": rn,
-                    **star,
-                },
+                "detail": {**detail_common, **star},
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    if (
+        os.environ.get("BENCH_CHILD") == "1"
+        or os.environ.get("HZT_TPU_QUEUE_MEMBER") == "1"
+        or os.environ.get("BENCH_NO_RETRY") == "1"
+    ):
+        # queue members already run under the queue's own timeout/retry
+        # ladder — a nested parent would double-retry and muddy its logs
+        main()
+    else:
+        sys.exit(parent())
