@@ -326,6 +326,9 @@ def checkerboard_homogenization(
     if solver == "multishift":
         from .multishift import homogenization_multishift
 
+        # return_trace maps to the multishift stats dict (A/M apply counts,
+        # executed Lanczos iterations, sigma_steps) — the closest analog of
+        # HomogenizationTrace for the one-pass solver
         return homogenization_multishift(
             n,
             dim=dim,
@@ -334,6 +337,8 @@ def checkerboard_homogenization(
             xi=xi,
             cond_field=cond_field,
             seed=seed,
+            dtype=dtype,
+            return_stats=return_trace,
         )
     if geometry == "lattice":
         return _checkerboard_lattice(
