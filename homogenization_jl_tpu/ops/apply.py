@@ -30,6 +30,7 @@ def element_apply(
     coeff: jnp.ndarray,
     stack: jnp.ndarray,
     precision=_PRECISION,
+    accumulate: str | None = None,
 ) -> jnp.ndarray:
     """y[e] = sum_p coeff[e, p] * (stack[p] @ x[e]).
 
@@ -38,8 +39,33 @@ def element_apply(
     Accumulates over the P pieces instead of materializing the [E, P, n]
     einsum intermediate (P+2 times the state size in HBM — the single
     largest allocation at large E; this form keeps temps at O(E n)).
+
+    ``accumulate``: "unroll" (default for native dtypes) emits P separate
+    matmuls that XLA software-pipelines onto the MXU (the 88%-of-roofline
+    f32 form); "loop" runs a sequential ``fori_loop``. For f64 off-CPU the
+    loop is the default: f64 matmuls are EMULATED on TPU and XLA batches
+    the unrolled chain into materialized [P+1, E, n] f32 temp stacks —
+    measured 3 x 6 GB at 190M DOFs, a 42 GB compile-time OOM for the
+    mixed-precision-PCG init program (round 5) — while MXU pipelining is
+    irrelevant at emulation throughput. Both forms accumulate the pieces
+    in the same order and agree to machine precision (FMA fusion differs
+    between the program shapes; tests/test_operator_oracle).
     """
     P = stack.shape[0]
+    if accumulate is None:
+        accumulate = (
+            "loop"
+            if x.dtype == jnp.float64 and jax.default_backend() != "cpu"
+            else "unroll"
+        )
+    if accumulate == "loop":
+        def body(p, y):
+            z = jnp.matmul(x, stack[p].T, precision=precision)
+            c = jax.lax.dynamic_slice_in_dim(coeff, p, 1, axis=1)
+            return y + c * z
+
+        return jax.lax.fori_loop(0, P, body, jnp.zeros_like(x))
+    assert accumulate == "unroll", accumulate
     y = jnp.zeros_like(x)
     for p in range(P):
         z = jnp.matmul(x, stack[p].T, precision=precision)

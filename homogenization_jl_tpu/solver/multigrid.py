@@ -1589,7 +1589,13 @@ def mixed_precision_setup(
     # 1/multiplicity per slot: combine(ones) counts the duplicates.
     # zero_states()[0] + 1 (not jnp.ones) keeps the slab sharding; .combine
     # is the public form (eager single-device, jitted shard_map on the slab).
-    inv_mult = 1.0 / outer.combine(outer.zero_states()[0] + 1.0)
+    # Stored at INNER precision: it scales the already-combined (assembled-
+    # scale) residual right at the downcast boundary, so f32 rounding here
+    # only perturbs the preconditioner input (flexible PCG absorbs it) —
+    # and the [E, n_local] f64 table was 1.5 GB of the 190M-DOF HBM budget.
+    inv_mult = (1.0 / outer.combine(outer.zero_states()[0] + 1.0)).astype(
+        inner.dtype
+    )
     return (
         inv_mult, coeff_o, Ls_o, coeff_i, chol_i, tuple(inner.levels),
         inner.base_elements, inner._interior_payload(), lam_max_i,
@@ -1605,8 +1611,11 @@ def _mixed_pcg_impls(outer: MultigridSolver, inner: MultigridSolver):
 
     def precond(r, im, co_i, ch_i, ls_i, els, it_i, lm_i, ls_o):
         # re-express at the assembled scale BEFORE the downcast
-        # (mixed_precision_pcg docstring)
-        rs = (outer._combine(r, top, ls_o) * im).astype(inner.dtype)
+        # (mixed_precision_pcg docstring): the combine(r) entries are
+        # assembled-scale sums, so casting right after it is safe, and the
+        # 1/multiplicity rescale then runs at inner precision (im is stored
+        # at inner dtype — see mixed_precision_setup)
+        rs = outer._combine(r, top, ls_o).astype(inner.dtype) * im
         z, _ = inner._vcycle_impl(
             jnp.zeros(r.shape, inner.dtype), rs,
             co_i, ch_i, ls_i, els, it_i, lm_i,

@@ -137,3 +137,36 @@ def test_assembled_laplace_sanity():
     m = refine_uniformly(hypercube(2, 2), times=2)
     A = assemble_laplace(m)
     assert np.abs(A @ np.ones(m.nnodes)).max() < 1e-12
+
+
+def test_apply_accumulate_forms_agree():
+    """The "loop" accumulation (f64-on-TPU memory form, ops/apply.py) and
+    the default "unroll" form run the same matmuls in the same order and
+    must agree to machine precision (XLA FMA-fusion choices differ between
+    the two program shapes, so not bitwise) — the loop form is what mixed_precision_pcg's f64
+    outer apply compiles at scale (round 5: unrolled f64 was a 42 GB
+    compile-time OOM at 190M DOFs)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    from homogenization_jl_tpu.solver.multigrid import MultigridSolver
+
+    base = hypercube(3, 2)
+    plan = build_grid_plan(base, 2)
+    k = 1
+    solver = MultigridSolver(plan, dtype=jnp.float64)
+    L = solver.levels[k]
+    sigma = rng.choice([1.0, 9.0], size=(base.nelements, 3))
+    coeff = jnp.asarray(element_coefficients(base, sigma, 0.25, np.float64))
+    x = jnp.asarray(rng.standard_normal((base.nelements, plan.n_local(k))))
+    stack = L.stack
+
+    y_unroll = jax.jit(
+        lambda a, b, c: element_apply(a, b, c, accumulate="unroll")
+    )(x, coeff, stack)
+    y_loop = jax.jit(
+        lambda a, b, c: element_apply(a, b, c, accumulate="loop")
+    )(x, coeff, stack)
+    err = np.abs(np.asarray(y_unroll) - np.asarray(y_loop)).max()
+    scale = np.abs(np.asarray(y_unroll)).max()
+    assert err <= 4 * np.finfo(np.float64).eps * scale, (err, scale)
