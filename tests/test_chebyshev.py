@@ -2,9 +2,12 @@
 BASELINE north star): V-cycles must contract and converge to the same
 solution as the CG-smoothed cycle."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.fem.local_operators import load_vector
 from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube

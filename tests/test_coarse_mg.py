@@ -4,9 +4,12 @@ solver tolerance. This is the scaling replacement for the reference's
 BaseLevel direct solve (src/multigrid.jl:30-41) when the base mesh is large.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.fem.local_operators import load_vector
 from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube

@@ -4,9 +4,12 @@ plain V-cycles from x=0 reach, and continuing with V-cycles must converge
 to the same solution. The reference only iterates vcycle! from zero
 (src/multigrid.jl:73-119) — this is capability beyond it."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.fem.local_operators import load_vector
 from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube

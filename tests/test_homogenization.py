@@ -7,9 +7,12 @@ plausible band (reference values for n=5, 2D: 1.61/1.89/1.95 for refinements
 1/2/3), and (c) agreement of the k=0 recurrence step against an explicit
 direct solve of the same shifted problem."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 import scipy.sparse.linalg as spl
 

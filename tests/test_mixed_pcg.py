@@ -7,9 +7,12 @@ reference gets deep tolerances for free from CPU float64
 cheap arrangement: one f64 apply + BLAS-1 per iteration, everything else f32.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.fem.local_operators import load_vector
 from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube

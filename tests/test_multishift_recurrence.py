@@ -6,8 +6,11 @@ applications than the per-step V-cycle driver.
 lambda-halving family; here lifted from (A + lam I) x = b to the recurrence's
 (A, M) pencil resolvent chain.)"""
 
-import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
+import numpy as np
 
 
 @pytest.fixture()

@@ -5,8 +5,11 @@ plan can still build with slot_tables=True. The production sharded solver
 no longer needs the O(volume) slot tables; this pins that the O(surface)
 derivation is exactly equivalent."""
 
-import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
+import numpy as np
 
 from homogenization_jl_tpu.mesh.grid import hypercube
 from homogenization_jl_tpu.ops.plan import build_grid_plan

@@ -1,10 +1,13 @@
 """Sharded (8 virtual devices) vs single-device equivalence — the test class
 the reference never needed (SURVEY.md §4 item f)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 from jax.sharding import Mesh
 
 from homogenization_jl_tpu.fem.local_operators import load_vector

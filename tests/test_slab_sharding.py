@@ -10,10 +10,13 @@ coarse modes, at sizes where face orbits span shard boundaries at depth
 round-2 verdict).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.sharding import Mesh
 
 from homogenization_jl_tpu.fem.local_operators import load_vector

@@ -11,9 +11,12 @@ arithmetic no-ops for f32 (they only select bf16-pass strategies on TPU
 MXUs), which turns (b) into a bitwise assertion.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from homogenization_jl_tpu.fem.local_operators import load_vector
 from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube

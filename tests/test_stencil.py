@@ -6,9 +6,12 @@ The stencil path is a pure reformulation of the assembled base operator
 src/examples/homogenized_coefficients.jl:358-402); every test pins exact
 agreement with the existing global-space machinery."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from homogenization_jl_tpu.mesh.grid import hypercube
 from homogenization_jl_tpu.ops.interfaces import distribute

@@ -5,10 +5,13 @@ Covers both element orders, with and without the folded constraint, and
 the prepad / direct-face sub-variants (scripts/bench_combine.py picks the
 fastest on hardware)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.mesh.grid import hypercube
 from homogenization_jl_tpu.ops.plan import build_grid_plan

@@ -9,9 +9,12 @@ structural equality with the direct build and bitwise-equal combine output.
 (Reference operation: broadcast_interfaces!, src/implicit_fine_grid.jl:209-328.)
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.mesh.grid import hypercube
 from homogenization_jl_tpu.ops.plan import build_grid_plan

@@ -102,6 +102,7 @@ def test_st1_example_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "st1.vtu")
 
 
+@pytest.mark.slow  # ~10s solve; smoke lane skips it
 def test_st1_multigrid_matches_direct():
     """st1 solve on the implicit fine grid == direct solve of the explicitly
     refined mesh with the same per-base-element field (the scalable path the
@@ -158,6 +159,7 @@ def test_st1_multigrid_matches_direct():
     assert err < 1e-6, f"solution error {err}"
 
 
+@pytest.mark.slow  # ~10s solve; smoke lane skips it
 def test_multishift_demo_matches_per_shift_cg():
     from homogenization_jl_tpu.models.multishift import multishift_demo
 

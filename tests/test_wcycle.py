@@ -2,9 +2,12 @@
 than V-cycles at ~2x sub-top cost — capability beyond the reference's
 V-only multigrid (src/multigrid.jl:73-119)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke lane (pytest -m "not slow")
+
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from homogenization_jl_tpu.fem.local_operators import load_vector
 from homogenization_jl_tpu.mesh.grid import affine_maps, hypercube
