@@ -160,8 +160,21 @@ def homogenization_multishift(
     b0 = jnp.asarray(initial_rhs(plan, sigma_el, xi), dtype=dtype)
     b0c = solver._constrain(solver._combine(b0, kf), kf)
 
+    # Jacobi preconditioner for the inner mass solves: the assembled mass
+    # diagonal per duplicated slot is combine(detJ_e * diag(Mhat)). On a
+    # uniform hypercube it measured ITERATION-NEUTRAL (the P1 mass matrix's
+    # ~25-iteration count at tol 1e-12 is its intrinsic sqrt(cond)~3, not
+    # diagonal scaling) — kept because it is one elementwise multiply and
+    # pays off exactly when detJ varies across elements. The structural cost
+    # of this path stays ~(1 + mass_iters) applies per Lanczos iteration.
+    diag_M = solver._combine(detJ[:, None] * jnp.diag(mass)[None, :], kf)
+    inv_diag_M = 1.0 / diag_M
+
     def Msolve(b):
-        x, it, _ = cg(Mop, b, tol=mass_tol, maxiter=400, dot=wdot)
+        x, it, _ = cg(
+            Mop, b, tol=mass_tol, maxiter=400, dot=wdot,
+            precond=lambda r: inv_diag_M * r,
+        )
         stats["M_applies"] += int(it) + 1
         return x
 

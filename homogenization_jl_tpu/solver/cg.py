@@ -22,39 +22,68 @@ import jax
 import jax.numpy as jnp
 
 
-def cg(matvec, b, x0=None, tol=1e-10, maxiter=200, dot=None):
+def cg(matvec, b, x0=None, tol=1e-10, maxiter=200, dot=None, precond=None):
     """Plain CG (reference: CGIterable, tools/multishift_cg.jl:12-49).
 
     Returns (x, iterations, final_rs). ``dot`` may be overridden (e.g. a
     first-copy-weighted dot on the duplicated layout, or a psum-reduced dot
-    under shard_map).
+    under shard_map). ``precond`` (optional) applies an SPD preconditioner
+    z = P^{-1} r per iteration — e.g. the Jacobi/assembled-diagonal inverse
+    for well-conditioned operators like the P1 mass matrix, where it cuts
+    the iteration count several-fold at one elementwise multiply per step.
+    The stopping criterion stays on the TRUE residual ||r||^2 < tol^2
+    ||r_0||^2 in both forms, so callers see the same convergence contract.
     """
     if dot is None:
         dot = jnp.vdot
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
-    p = r
     rs = dot(r, r)
     eps2 = jnp.asarray(tol, b.dtype) ** 2 * rs
 
     def safe(num, den):
         return jnp.where(den == 0, jnp.zeros_like(num), num / jnp.where(den == 0, 1, den))
 
-    def body(state):
-        x, r, p, rs, i = state
+    if precond is None:
+        p = r
+
+        def body(state):
+            x, r, p, rs, i = state
+            Ap = matvec(p)
+            alpha = safe(rs, dot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = dot(r, r)
+            p = r + safe(rs_new, rs) * p
+            return x, r, p, rs_new, i + 1
+
+        def cond(state):
+            _, _, _, rs_c, i = state
+            return jnp.logical_and(rs_c > eps2, i < maxiter)
+
+        x, _, _, rs, i = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+        return x, i, rs
+
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+
+    def body_p(state):
+        x, r, p, rz, _, i = state
         Ap = matvec(p)
-        alpha = safe(rs, dot(p, Ap))
+        alpha = safe(rz, dot(p, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = dot(r, r)
-        p = r + safe(rs_new, rs) * p
-        return x, r, p, rs_new, i + 1
+        z = precond(r)
+        rz_new = dot(r, z)
+        p = z + safe(rz_new, rz) * p
+        return x, r, p, rz_new, dot(r, r), i + 1
 
-    def cond(state):
-        _, _, _, rs_c, i = state
+    def cond_p(state):
+        _, _, _, _, rs_c, i = state
         return jnp.logical_and(rs_c > eps2, i < maxiter)
 
-    x, _, _, rs, i = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+    x, _, _, _, rs, i = jax.lax.while_loop(cond_p, body_p, (x, r, p, rz, rs, 0))
     return x, i, rs
 
 

@@ -91,3 +91,45 @@ def test_multishift_matrix_free_on_duplicated_layout():
         rn = float(jnp.sqrt(jnp.vdot(r * w, r * w)))
         bn = float(jnp.sqrt(jnp.vdot(b * w, b * w)))
         assert rn < 1e-6 * bn, f"shift {sh}: rel res {rn / bn}"
+
+
+def test_preconditioned_cg_matches_and_converges_faster():
+    """Jacobi-preconditioned CG (cg(..., precond=)) solves the same system
+    to the same true-residual stopping contract, in no more iterations than
+    plain CG on an ill-scaled SPD matrix (the multishift inner mass solve
+    uses this with the assembled mass diagonal, models/multishift.py)."""
+    n = 120
+    rng = np.random.default_rng(5)
+    # ill-diagonal-scaled SPD: D^(1/2) (L + I) D^(1/2), D log-uniform 1e-3..1e3
+    L = _laplacian_1d(n) + jnp.eye(n)
+    d = jnp.asarray(10.0 ** rng.uniform(-3, 3, n))
+    A = jnp.sqrt(d)[:, None] * L * jnp.sqrt(d)[None, :]
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+
+    x0, it0, rs0 = cg(lambda v: A @ v, b, tol=1e-10, maxiter=5000)
+    inv_diag = 1.0 / jnp.diag(A)
+    x1, it1, rs1 = cg(
+        lambda v: A @ v, b, tol=1e-10, maxiter=5000,
+        precond=lambda r: inv_diag * r,
+    )
+    bn = float(jnp.linalg.norm(b))
+    assert float(jnp.linalg.norm(A @ x1 - b)) / bn < 1e-9
+    assert int(it1) < int(it0)
+    # the stopping contract is the same ||r|| reduction in both forms
+    assert float(rs1) <= 1e-20 * float(jnp.vdot(b, b)) * 1e6  # rs = ||r||^2
+
+
+def test_preconditioned_cg_identity_precond_matches_plain():
+    """precond=identity reproduces plain CG's iterates (same alphas/betas):
+    final x and iteration count agree to rounding."""
+    n = 60
+    A = _laplacian_1d(n) + jnp.eye(n)
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.standard_normal(n))
+    x0, it0, _ = cg(lambda v: A @ v, b, tol=1e-12, maxiter=500)
+    x1, it1, _ = cg(
+        lambda v: A @ v, b, tol=1e-12, maxiter=500, precond=lambda r: r
+    )
+    assert int(it0) == int(it1)
+    assert np.abs(np.asarray(x0 - x1)).max() < 1e-12

@@ -59,14 +59,17 @@ def test_multishift_dispatch_from_driver(small_schedule):
 
 def test_two_pass_matches_one_pass():
     """two_pass=True (no stored Lanczos basis: scalar pass + accumulation
-    pass) reproduces the stored-basis recurrence bit for bit — the variant
-    that lifts the [m, E, n_local] storage cap (round-2 verdict item 10)."""
+    pass) reproduces the stored-basis recurrence — the variant that lifts
+    the [m, E, n_local] storage cap (round-2 verdict item 10). The mat-vec
+    stream is identical; the v_k assembly differs only in reduction shape
+    (einsum over the stacked basis vs incremental axpys), so agreement is
+    to rounding (~1e-13 rel in f64, the docstring contract), not bitwise."""
     from homogenization_jl_tpu.models.multishift import homogenization_multishift
 
     kw = dict(dim=2, refinements=1, lanczos_iters=25, seed=3, return_stats=True)
     s1, st1 = homogenization_multishift(1, **kw)
     s2, st2 = homogenization_multishift(1, two_pass=True, **kw)
-    assert s1 == s2, (s1, s2)
+    assert abs(s1 - s2) <= 1e-12 * abs(s1), (s1, s2)
     assert st1["lanczos_iters"] == st2["lanczos_iters"]
     # pass 2 re-runs the mat-vec stream: ~2x applies, O(K) state arrays
     assert st2["A_applies"] < 2 * st1["A_applies"] + 2
