@@ -8,6 +8,14 @@ emulation for: per-iteration cost = one emulated-f64 fine apply + f64 BLAS-1
 + one f32 V-cycle. Records per-iteration wall time and the residual history.
 Reference capability being matched: the Julia implementation runs everything
 in native CPU float64 (src/multigrid.jl:46-71).
+
+MIXED_SLAB=8 runs the SLAB-SHARDED mixed PCG instead, on an 8-virtual-device
+CPU mesh (re-exec with xla_force_host_platform_device_count, as
+run_slab_big.py): n=32 f64 Krylov state does not fit one 16G v5e — measured
+26.75G compile-time peak after the round-5 HBM fixes (down from 42.1G), vs
+an intrinsic ~17G floor of 3 donated f64 Krylov vectors + transients — so
+the 190M-DOF below-f32-floor record runs sharded (native-f64 CPU backend),
+exactly the multi-chip path a >16G problem takes on real hardware.
 """
 
 import os
@@ -16,6 +24,29 @@ import time
 
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.85")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_SLAB = int(os.environ.get("MIXED_SLAB", "0"))
+if N_SLAB and os.environ.get("_HZT_MIXED_SLAB_CHILD") != "1":
+    # re-exec: the forced CPU device count must be set before jax import
+    import subprocess
+
+    env = dict(os.environ)
+    env["_HZT_MIXED_SLAB_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        flags
+        + f" --xla_force_host_platform_device_count={N_SLAB}"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        + " --xla_cpu_collective_timeout_seconds=7200"
+    ).strip()
+    raise SystemExit(
+        subprocess.run([sys.executable, "-u"] + sys.argv, env=env).returncode
+    )
 
 from homogenization_jl_tpu.utils.cache import enable_compilation_cache
 
@@ -53,25 +84,43 @@ def main():
     tol = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-10
     dim = 3
 
-    base = hypercube(dim, n, order="type")
+    base = hypercube(dim, n, order="cube" if N_SLAB else "type")
     rng = np.random.default_rng(0)
     field = generate_conductivity(dim, n, rng)
     sigma = conductivity_per_element(base, field, np.zeros(dim))
     plan = build_grid_plan(base, nlevels, slot_tables=False)
     dofs = plan.base.nelements * plan.n_local(nlevels - 1)
-    print(f"n={n} levels={nlevels} dofs={dofs:,}", flush=True)
+    print(f"n={n} levels={nlevels} dofs={dofs:,} slab={N_SLAB}", flush=True)
 
     coarse = "chol" if len(plan.interior_base_nodes) <= 8000 else "mg"
-    inner = MultigridSolver(
-        plan, dtype=jnp.float32, smoother="chebyshev", coarse=coarse,
-        smooth_precision="high", coarse_mg_tol=5e-2,
-    )
-    outer = MultigridSolver(
-        plan, dtype=jnp.float64, smoother="chebyshev", coarse=coarse,
-    )
+    if N_SLAB:
+        from jax.sharding import Mesh
+
+        from homogenization_jl_tpu.parallel.slab import (
+            SlabShardedMultigridSolver,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:N_SLAB]), ("e",))
+        inner = SlabShardedMultigridSolver(
+            plan, mesh, dtype=jnp.float32, smoother="chebyshev",
+            coarse=coarse, smooth_precision="high", coarse_mg_tol=5e-2,
+        )
+        outer = SlabShardedMultigridSolver(
+            plan, mesh, dtype=jnp.float64, smoother="chebyshev",
+            coarse=coarse,
+        )
+    else:
+        inner = MultigridSolver(
+            plan, dtype=jnp.float32, smoother="chebyshev", coarse=coarse,
+            smooth_precision="high", coarse_mg_tol=5e-2,
+        )
+        outer = MultigridSolver(
+            plan, dtype=jnp.float64, smoother="chebyshev", coarse=coarse,
+        )
     b_ref = load_vector(plan.reference.levels[nlevels - 1])
     _, _, detJ, _ = affine_maps(base)
-    b = jnp.asarray(detJ[:, None] * b_ref[None, :], dtype=jnp.float64)
+    b_np = (detJ[:, None] * b_ref[None, :]).astype(np.float64)
+    b = outer.put(b_np) if N_SLAB else jnp.asarray(b_np, dtype=jnp.float64)
 
     t0 = time.perf_counter()
     setup = mixed_precision_setup(outer, inner, sigma)
