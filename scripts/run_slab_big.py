@@ -188,14 +188,25 @@ def main():
 
     if "residual_rel_err" in out:
         # Checked after the JSON dump so a long run always keeps its
-        # evidence. The tight bound only holds for the dot-free smoothers
-        # (see the SLAB_BIG_SMOOTHER comment above): under cg/cg_exact the
-        # f32 dot reduction order steers the two trajectories apart at
-        # scale, so the comparison is qualitative (same contraction rate),
-        # not quantitative.
+        # evidence. What is assertable at f32 scale (round-5 finding,
+        # ACCURACY.md "Slab-vs-single residual norms at f32 scale"):
+        # the raw residual NORMS of the two f32 trajectories differ by
+        # each one's distance from the f64 truth — measured 1.2e-3 at
+        # 2.8M DOFs and ~9% at 190M for the SINGLE-device f32 cycle vs
+        # f64 (condition-number amplification of f32 rounding; the slab
+        # trajectory sat CLOSER to the f64 truth than the single-device
+        # one at 2.8M) — so a tight norm gate is wrong for any f32 pair.
+        # Sharding correctness itself is pinned bitwise-tight by the f64
+        # width-1/2/4/6 equivalence tests (tests/test_slab_sharding.py,
+        # /tmp-scale repro in ACCURACY.md). Here we assert what sharding
+        # must preserve at f32: the solution functional and the
+        # contraction RATE.
         if smoother.startswith("chebyshev"):
-            assert max(out["residual_rel_err"]) < 1e-3, out["residual_rel_err"]
             assert out["integral_rel_err"] < 1e-3, out["integral_rel_err"]
+            rate_s = [a / b for a, b in zip(hist_s[1:], hist_s[:-1])]
+            rate_1 = [a / b for a, b in zip(hist_1[1:], hist_1[:-1])]
+            for rs_, r1_ in zip(rate_s, rate_1):
+                assert abs(rs_ - r1_) < 0.05 * r1_, (rate_s, rate_1)
 
 
 if __name__ == "__main__":
