@@ -1655,6 +1655,8 @@ def mixed_precision_pcg(
     iters: int = 200,
     tol: float = 1e-12,
     setup=None,
+    keep_best: bool = True,
+    divergence_stop: int = 3,
 ):
     """Iterative-refinement PCG: a high-precision Krylov loop around a
     low-precision V-cycle preconditioner.
@@ -1693,6 +1695,19 @@ def mixed_precision_pcg(
     ``b`` is the f64 local (duplicated-contribution) rhs. Returns
     ``(x, history)`` with history = exact first-copy residual norms, entry
     0 = initial. Stops when ``history[-1] <= tol * history[0]``.
+
+    Past its attainable floor the flexible recurrence is UNSTABLE, not
+    stagnant: measured on TPU (emulated-f64 apply, 23.8M DOFs) the
+    iteration reached rel 7.4e-10 at iteration 17 and then diverged
+    geometrically (~4.2x/iteration) once beta ratios became rounding
+    noise — a ``tol`` below the floor would return garbage. The guard
+    (``keep_best``, default on): the best iterate is snapshotted on each
+    new minimum (one device copy of x, only while still improving), and
+    after ``divergence_stop`` consecutive non-improving iterations the
+    loop stops and returns the best iterate. The initial transient
+    (residual rises ~5x at iteration 1 before contracting) survives the
+    default of 3. ``keep_best=False`` skips the snapshot for callers at
+    the single-chip HBM edge (one extra outer-dtype state array).
 
     The jitted init/step programs are cached on ``outer`` per inner solver,
     and ``setup=mixed_precision_setup(...)`` lets repeated calls (warm-up
@@ -1740,9 +1755,20 @@ def mixed_precision_pcg(
             els_i, inter_i, lam_max_i)
     x, r, p, rz, rn = init(x, b, *args)
     history = [float(rn)]
+    best_rn, x_best, worse = history[0], None, 0
     for _ in range(iters):
         x, r, p, rz, rn = step(x, r, p, rz, *args)
         history.append(float(rn))
         if tol and history[-1] <= tol * history[0]:
             break
+        if keep_best:
+            if history[-1] < best_rn:
+                # snapshot BEFORE the next step donates this buffer away
+                best_rn, x_best, worse = history[-1], jnp.copy(x), 0
+            else:
+                worse += 1
+                if worse >= divergence_stop:
+                    break
+    if keep_best and x_best is not None and best_rn < history[-1]:
+        x = x_best
     return x, history

@@ -157,3 +157,34 @@ def test_mixed_pcg_guards():
             b64, sigma, iters=1,
         )
     del f64cg
+
+
+def test_mixed_pcg_keep_best_guard_stops_at_floor():
+    """Past its attainable floor the flexible recurrence is unstable, not
+    stagnant (measured on TPU: rel 7.4e-10 at iteration 17, then geometric
+    ~4.2x/iteration divergence once beta ratios are rounding noise). With
+    tol below the floor, keep_best (default) must stop within
+    divergence_stop non-improving iterations and return the BEST iterate,
+    whose recomputed residual matches the best history entry."""
+    plan, sigma, b64 = _problem(2, 4, 3)
+    outer = MultigridSolver(plan, dtype=jnp.float64, smoother="chebyshev")
+    inner = MultigridSolver(plan, dtype=jnp.float32, smoother="chebyshev")
+
+    # tol=0 can never trigger the tolerance stop: only the guard can end
+    # the loop before the 80-iteration budget
+    x, hist = mixed_precision_pcg(
+        outer, inner, b64, sigma, iters=80, tol=0.0
+    )
+    assert len(hist) < 81, "guard did not stop the post-floor iteration"
+    best = min(hist)
+    assert best <= 1e-13 * hist[0], hist  # still reached f64 depth first
+
+    coeff64 = outer.coefficients(sigma, 0.0)
+    r = outer._local_residual(x, b64, coeff64, outer.nlevels - 1, None)
+    rn = float(outer.residual_norm(outer.combine(r)))
+    # The returned iterate solves to f64 depth. (The RECURRENCE residual
+    # the history records reads ~1e-16 at the floor while the TRUE
+    # recomputed residual floors ~100x higher — the classic CG drift at
+    # machine depth — so the contract is the relative-depth bound, not
+    # equality with min(history).)
+    assert rn <= 1e-12 * hist[0], (rn, best, hist[-3:])
